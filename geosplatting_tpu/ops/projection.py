@@ -1,0 +1,116 @@
+"""3D Gaussian -> 2D screen-space projection (EWA splatting) for the rasterizer.
+
+Replicates the projection stage of gsplat's ``rasterization`` (the contract
+consumed at ``rfstudio/model/gsplat.py:129-183``): world->camera transform,
+perspective projection of means, EWA 2D covariance with a 0.3px low-pass,
+'antialiased' opacity compensation, eigenvalue-based screen radius, and
+frustum culling. Pure jnp; batched over all N Gaussians at once (MXU-sized
+matmuls, no per-Gaussian control flow).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..graphics import gmath
+
+LOWPASS = 0.3
+ALPHA_CUTOFF = 0.999
+MIN_ALPHA = 1.0 / 255.0
+
+
+class Projected(NamedTuple):
+    means2d: jnp.ndarray   # [N, 2] pixel coords
+    depths: jnp.ndarray    # [N]
+    conics: jnp.ndarray    # [N, 3] inverse cov2d (a, b, c) for axx+2bxy+cyy
+    opacities: jnp.ndarray # [N] post-compensation opacities
+    radii: jnp.ndarray     # [N] int32 screen radius (0 = culled)
+
+
+def project(
+    means: jnp.ndarray,       # [N, 3]
+    quats: jnp.ndarray,       # [N, 4] wxyz
+    scales: jnp.ndarray,      # [N, 3] linear (already exp'ed)
+    opacities: jnp.ndarray,   # [N]
+    viewmat: jnp.ndarray,     # [4, 4] world->camera (+z forward)
+    K: jnp.ndarray,           # [3, 3]
+    width: int,
+    height: int,
+    *,
+    near: float = 0.01,
+    far: float = 1e10,
+    rasterize_mode: str = "classic",
+    radius_clip: float = 0.0,
+) -> Projected:
+    R = viewmat[:3, :3]
+    t = viewmat[:3, 3]
+    p_cam = means @ R.T + t                      # [N, 3]
+    z = p_cam[:, 2]
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    rz = 1.0 / jnp.maximum(jnp.abs(z), 1e-8) * jnp.sign(z + 1e-30)
+    mean2d = jnp.stack(
+        (fx * p_cam[:, 0] * rz + cx, fy * p_cam[:, 1] * rz + cy), axis=-1
+    )
+
+    # EWA: cov2d = J W Cov3d W^T J^T
+    M = gmath.quat2rot(gmath.safe_normalize(quats)) * scales[:, None, :]  # [N,3,3]
+    cov_world_half = M                                                     # Sigma = M M^T
+    W = R  # world->cam rotation
+    V = jnp.einsum("ij,njk->nik", W, cov_world_half)  # [N, 3, 3]
+    cov_cam = V @ jnp.swapaxes(V, -1, -2)
+
+    # clamp the tangent-plane coords to slightly outside the frustum (gsplat)
+    lim_x = 1.3 * (0.5 * width / fx + jnp.abs(cx / fx - 0.5 * width / fx))
+    lim_y = 1.3 * (0.5 * height / fy + jnp.abs(cy / fy - 0.5 * height / fy))
+    tx = z * jnp.clip(p_cam[:, 0] * rz, -lim_x, lim_x)
+    ty = z * jnp.clip(p_cam[:, 1] * rz, -lim_y, lim_y)
+
+    zero = jnp.zeros_like(z)
+    J = jnp.stack(
+        (
+            fx * rz, zero, -fx * tx * rz * rz,
+            zero, fy * rz, -fy * ty * rz * rz,
+        ),
+        axis=-1,
+    ).reshape(-1, 2, 3)
+    cov2d = J @ cov_cam @ jnp.swapaxes(J, -1, -2)  # [N, 2, 2]
+
+    a = cov2d[:, 0, 0]
+    b = cov2d[:, 0, 1]
+    c = cov2d[:, 1, 1]
+    det_orig = a * c - b * b
+    a_b = a + LOWPASS
+    c_b = c + LOWPASS
+    det = a_b * c_b - b * b
+
+    if rasterize_mode == "antialiased":
+        comp = jnp.sqrt(jnp.maximum(det_orig / jnp.maximum(det, 1e-12), 0.0))
+        op = opacities * comp
+    elif rasterize_mode == "classic":
+        op = opacities
+    else:
+        raise ValueError(f"unknown rasterize_mode: {rasterize_mode}")
+
+    inv_det = 1.0 / jnp.maximum(det, 1e-12)
+    conic = jnp.stack((c_b * inv_det, -b * inv_det, a_b * inv_det), axis=-1)
+
+    # screen radius from max eigenvalue of the blurred cov2d
+    mid = 0.5 * (a_b + c_b)
+    lam = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam))
+
+    valid = (
+        (z > near)
+        & (z < far)
+        & (det > 1e-12)
+        & (op > MIN_ALPHA)
+        & (mean2d[:, 0] + radius > 0)
+        & (mean2d[:, 0] - radius < width)
+        & (mean2d[:, 1] + radius > 0)
+        & (mean2d[:, 1] - radius < height)
+        & (radius > radius_clip)
+    )
+    radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
+    return Projected(means2d=mean2d, depths=z, conics=conic, opacities=op, radii=radii)

@@ -1,0 +1,27 @@
+"""Test configuration: force an 8-virtual-device CPU backend so every test —
+including multi-chip sharding tests — runs fast and without TPU hardware.
+
+The container's sitecustomize registers a remote-TPU ('axon') PJRT plugin at
+interpreter start and pins JAX_PLATFORMS=axon; we override both before any
+backend is initialized (first jax.devices() call happens inside tests)."""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on the virtual CPU mesh, got: " + str(jax.devices()[:1])
+)
+assert jax.device_count() == 8
