@@ -1,0 +1,218 @@
+"""Blender-style dataparsers: Blender / MaskedBlender / Syn4Relight /
+TensoIR / ShinyBlender.
+
+Parity targets: ``rfstudio/data/dataparser/blender_dataparser.py:20,99``,
+``syn4relight_dataparser.py:20-137`` (c2w axis swap :60-62, 2/3 scene scale,
+test meta = albedo/roughness/relight x2/envmap paths),
+``tensoir_dataparser.py`` (z-up -> y-up swap, `_sunset.png` frames),
+``shiny_blender_dataparser.py``. All parse into numpy camera/image stacks;
+device placement happens in the training loop.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from ..io import load_float32_image, load_masked_image, resize_image
+
+IMAGE_WH = 800
+
+
+@dataclasses.dataclass(frozen=True)
+class ParsedSplit:
+    c2w: np.ndarray        # [N, 3, 4]
+    focal: float
+    width: int
+    height: int
+    near: float
+    far: float
+    image_paths: list     # lazily loadable
+    mask_paths: list | None = None
+    alpha_color: tuple | None = None
+    meta: Any = None
+
+    def load_images(self, scale_factor: float | None = None) -> np.ndarray:
+        """[N, H, W, 4] rgba float32 (LDR values as stored, i.e. sRGB)."""
+        out = []
+        for i, p in enumerate(self.image_paths):
+            mask = self.mask_paths[i] if self.mask_paths else None
+            img = load_masked_image(p, mask)
+            if scale_factor is not None:
+                img = resize_image(img, scale_factor)
+            if self.alpha_color is not None and img.shape[-1] == 4:
+                a = img[..., 3:]
+                rgb = img[..., :3] * a + np.asarray(self.alpha_color) * (1 - a)
+                img = np.concatenate((rgb, a), axis=-1)
+            out.append(img)
+        return np.stack(out)
+
+
+def _load_transforms(path: Path, split: str):
+    with open(path / f"transforms_{split}.json") as f:
+        meta = json.load(f)
+    poses = np.array(
+        [f_["transform_matrix"] for f_ in meta["frames"]], dtype=np.float32
+    )
+    return meta, poses[:, :3, :]
+
+
+def _focal(meta: dict, width: int) -> float:
+    return 0.5 * width / np.tan(0.5 * float(meta["camera_angle_x"]))
+
+
+@dataclasses.dataclass(frozen=True)
+class BlenderDataparser:
+    """NeRF-synthetic layout (blender_dataparser.py:20-97)."""
+
+    alpha_color: str = "black"
+
+    def parse(self, path: Path, split: str) -> ParsedSplit:
+        meta, c2w = _load_transforms(path, split)
+        c2w = c2w.copy()
+        c2w[:, :, 3] *= 2 / 3
+        return ParsedSplit(
+            c2w=c2w,
+            focal=_focal(meta, IMAGE_WH),
+            width=IMAGE_WH, height=IMAGE_WH, near=4 / 3, far=4.0,
+            image_paths=[path / (f_["file_path"] + ".png") for f_ in meta["frames"]],
+            alpha_color=(1.0, 1.0, 1.0) if self.alpha_color == "white" else (0.0, 0.0, 0.0),
+        )
+
+    @staticmethod
+    def recognize(path: Path) -> bool:
+        return all(
+            (path / p).exists()
+            for p in ("train", "test", "transforms_train.json",
+                      "transforms_test.json", "transforms_val.json")
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskedBlenderDataparser:
+    """Blender layout, RGBA kept as mask (blender_dataparser.py:99)."""
+
+    def parse(self, path: Path, split: str) -> ParsedSplit:
+        meta, c2w = _load_transforms(path, split)
+        c2w = c2w.copy()
+        c2w[:, :, 3] *= 2 / 3
+        return ParsedSplit(
+            c2w=c2w,
+            focal=_focal(meta, IMAGE_WH),
+            width=IMAGE_WH, height=IMAGE_WH, near=4 / 3, far=4.0,
+            image_paths=[path / (f_["file_path"] + ".png") for f_ in meta["frames"]],
+        )
+
+    recognize = staticmethod(BlenderDataparser.recognize)
+
+
+@dataclasses.dataclass(frozen=True)
+class Syn4RelightDataparser:
+    """Synthetic4Relight (syn4relight_dataparser.py:20-137)."""
+
+    def parse(self, path: Path, split: str) -> ParsedSplit:
+        split = "train" if split == "val" else split
+        meta, c2w = _load_transforms(path, split)
+        # axis swap (:60): rows (-y, z, -x)
+        c2w = np.stack((-c2w[:, 1, :], c2w[:, 2, :], -c2w[:, 0, :]), axis=-2)
+        c2w[:, :, 3] *= 2 / 3
+        base = ParsedSplit(
+            c2w=c2w,
+            focal=_focal(meta, IMAGE_WH),
+            width=IMAGE_WH, height=IMAGE_WH, near=4 / 3, far=4.0,
+            image_paths=[], meta=None,
+        )
+        if split == "test":
+            frames = meta["frames"]
+            names = [f_["file_path"].rsplit("/", 1)[-1] for f_ in frames]
+            return dataclasses.replace(
+                base,
+                image_paths=[path / (f_["file_path"] + "_rgba.png") for f_ in frames],
+                meta={
+                    "albedo": [path / (f_["file_path"] + "_albedo.png") for f_ in frames],
+                    "roughness": [path / (f_["file_path"] + "_rough.png") for f_ in frames],
+                    "relight": {
+                        "envmap6": [path / "test_rli" / f"envmap6_{n}.png" for n in names],
+                        "envmap12": [path / "test_rli" / f"envmap12_{n}.png" for n in names],
+                    },
+                    "envmaps": {
+                        "envmap6": path.parent / "envmap6.exr",
+                        "envmap12": path.parent / "envmap12.exr",
+                    },
+                },
+            )
+        return dataclasses.replace(
+            base,
+            image_paths=[path / (f_["file_path"] + "_rgb.exr") for f_ in meta["frames"]],
+            mask_paths=[path / (f_["file_path"] + "_mask.png") for f_ in meta["frames"]],
+        )
+
+    @staticmethod
+    def recognize(path: Path) -> bool:
+        return all(
+            p.exists()
+            for p in (
+                path / "train", path / "test",
+                path / "transforms_train.json", path / "transforms_test.json",
+                path.parent / "envmap6.exr", path.parent / "envmap12.exr",
+            )
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class TensoIRDataparser:
+    """TensoIR-synthetic (tensoir_dataparser.py): z-up -> y-up row swap,
+    frames stored as `<file_path>_sunset.png`."""
+
+    def parse(self, path: Path, split: str) -> ParsedSplit:
+        meta, c2w = _load_transforms(path, split)
+        c2w = c2w.copy()
+        c2w[:, :, 3] *= 2 / 3
+        c2w = np.stack((-c2w[:, 1, :], c2w[:, 2, :], -c2w[:, 0, :]), axis=-2)
+        return ParsedSplit(
+            c2w=c2w,
+            focal=_focal(meta, IMAGE_WH),
+            width=IMAGE_WH, height=IMAGE_WH, near=4 / 3, far=4.0,
+            image_paths=[
+                path / (f_["file_path"] + "_sunset.png") for f_ in meta["frames"]
+            ],
+        )
+
+    @staticmethod
+    def recognize(path: Path) -> bool:
+        if not (path / "transforms_train.json").exists():
+            return False
+        with open(path / "transforms_train.json") as f:
+            meta = json.load(f)
+        first = meta["frames"][0]["file_path"]
+        return (path / (first + "_sunset.png")).exists()
+
+
+@dataclasses.dataclass(frozen=True)
+class ShinyBlenderDataparser:
+    """Shiny Blender (shiny_blender_dataparser.py:20): blender layout without
+    a val transforms file."""
+
+    def parse(self, path: Path, split: str) -> ParsedSplit:
+        split = "train" if split == "val" else split
+        meta, c2w = _load_transforms(path, split)
+        c2w = c2w.copy()
+        c2w[:, :, 3] *= 2 / 3
+        return ParsedSplit(
+            c2w=c2w,
+            focal=_focal(meta, IMAGE_WH),
+            width=IMAGE_WH, height=IMAGE_WH, near=4 / 3, far=4.0,
+            image_paths=[path / (f_["file_path"] + ".png") for f_ in meta["frames"]],
+        )
+
+    @staticmethod
+    def recognize(path: Path) -> bool:
+        return (
+            (path / "transforms_train.json").exists()
+            and (path / "transforms_test.json").exists()
+            and not (path / "transforms_val.json").exists()
+            and not (path.parent / "envmap6.exr").exists()
+        )

@@ -1,0 +1,99 @@
+"""Dataset orchestration: parser auto-recognition, split caching, batch
+iterators feeding the jitted train step.
+
+Parity target: ``rfstudio/data/dataset.py:65`` (auto dataparser recognition
+:91-98, lazy per-split parse cache, infinite shuffled batch iterators
+:186-213). TPU-first difference: the split lives as one stacked host numpy
+array; each step's camera/image batch is device_put (and, under a mesh,
+dp-sharded) — replacing the reference's whole-split-resident-on-device
+iterator."""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graphics.cameras import Cameras
+from .dataparsers.blender_family import (
+    BlenderDataparser,
+    MaskedBlenderDataparser,
+    ParsedSplit,
+    ShinyBlenderDataparser,
+    Syn4RelightDataparser,
+    TensoIRDataparser,
+)
+
+# recognition order mirrors the reference's registry specificity
+DATAPARSERS = (
+    Syn4RelightDataparser,
+    TensoIRDataparser,
+    BlenderDataparser,
+    ShinyBlenderDataparser,
+)
+
+
+def recognize_dataparser(path: Path):
+    for cls in DATAPARSERS:
+        if cls.recognize(path):
+            return cls()
+    raise ValueError(f"no dataparser recognizes {path}")
+
+
+@dataclasses.dataclass
+class Dataset:
+    path: Path
+    scale_factor: float | None = None
+    dataparser: Any = None
+
+    def __post_init__(self):
+        self.path = Path(self.path)
+        if self.dataparser is None:
+            self.dataparser = recognize_dataparser(self.path)
+        self._cache: dict[str, tuple[Cameras, np.ndarray, Any]] = {}
+
+    def get_split(self, split: str) -> tuple[Cameras, np.ndarray, Any]:
+        """(cameras [N], rgba images [N, H, W, 4] numpy, meta)."""
+        if split not in self._cache:
+            parsed: ParsedSplit = self.dataparser.parse(self.path, split)
+            images = parsed.load_images(self.scale_factor)
+            sf = self.scale_factor or 1.0
+            w = int(parsed.width * sf)
+            h = int(parsed.height * sf)
+            n = parsed.c2w.shape[0]
+            cams = Cameras(
+                c2w=jnp.asarray(parsed.c2w),
+                fx=jnp.full((n,), parsed.focal * sf),
+                fy=jnp.full((n,), parsed.focal * sf),
+                cx=jnp.full((n,), w / 2.0),
+                cy=jnp.full((n,), h / 2.0),
+                width=w,
+                height=h,
+                near=parsed.near,
+                far=parsed.far,
+            )
+            self._cache[split] = (cams, images, parsed.meta)
+        return self._cache[split]
+
+    def get_size(self, split: str) -> int:
+        return self.get_split(split)[0].shape[0]
+
+    def iter_batches(
+        self, split: str, batch_size: int, seed: int = 0
+    ) -> Iterator[tuple[Cameras, jnp.ndarray, np.ndarray]]:
+        """Infinite shuffled batches: (cameras [B], rgba [B, H, W, 4], idx)."""
+        cams, images, _ = self.get_split(split)
+        n = cams.shape[0]
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(n)
+        pos = 0
+        while True:
+            if pos + batch_size > n:
+                order = rng.permutation(n)
+                pos = 0
+            idx = order[pos: pos + batch_size]
+            pos += batch_size
+            yield cams[jnp.asarray(idx)], jnp.asarray(images[idx]), idx

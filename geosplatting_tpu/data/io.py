@@ -1,0 +1,76 @@
+"""Host-side image IO (parity: ``rfstudio/io/_image.py:15-78``): float32
+loads for png/jpg (PIL) and exr/hdr (imageio, when a plugin is available),
+optional mask compositing, and float32 dumps."""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+
+def load_float32_image(path: Path | str) -> np.ndarray:
+    """[H, W, C] float32; LDR formats are returned in [0, 1] (sRGB-encoded
+    values as stored), HDR formats in linear radiance."""
+    path = Path(path)
+    suffix = path.suffix.lower()
+    if suffix in (".png", ".jpg", ".jpeg", ".bmp", ".tiff", ".tif", ".webp"):
+        img = np.asarray(Image.open(path))
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        elif img.dtype == np.uint16:
+            img = img.astype(np.float32) / 65535.0
+        else:
+            img = img.astype(np.float32)
+        if img.ndim == 2:
+            img = img[..., None]
+        return img
+    if suffix in (".exr", ".hdr"):
+        import imageio.v3 as iio
+
+        img = np.asarray(iio.imread(path)).astype(np.float32)
+        if img.ndim == 2:
+            img = img[..., None]
+        return img
+    raise ValueError(f"unsupported image format: {path}")
+
+
+def load_masked_image(
+    image_path: Path | str, mask_path: Path | str | None = None
+) -> np.ndarray:
+    """RGBA [H, W, 4]: alpha from the image itself or a separate mask file."""
+    img = load_float32_image(image_path)
+    if mask_path is not None:
+        mask = load_float32_image(mask_path)[..., :1]
+        return np.concatenate((img[..., :3], mask), axis=-1)
+    if img.shape[-1] == 4:
+        return img
+    return np.concatenate((img, np.ones_like(img[..., :1])), axis=-1)
+
+
+def dump_float32_image(path: Path | str, img: np.ndarray) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    suffix = path.suffix.lower()
+    if suffix in (".png", ".jpg", ".jpeg", ".bmp", ".webp"):
+        arr = (np.clip(img, 0.0, 1.0) * 255.0).round().astype(np.uint8)
+        if arr.shape[-1] == 1:
+            arr = arr[..., 0]
+        Image.fromarray(arr).save(path)
+        return
+    if suffix in (".exr", ".hdr"):
+        import imageio.v3 as iio
+
+        iio.imwrite(path, img.astype(np.float32))
+        return
+    raise ValueError(f"unsupported image format: {path}")
+
+
+def resize_image(img: np.ndarray, scale_factor: float) -> np.ndarray:
+    h, w = img.shape[:2]
+    nh, nw = int(h * scale_factor), int(w * scale_factor)
+    pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    out = np.asarray(pil.resize((nw, nh), Image.BILINEAR)).astype(np.float32) / 255.0
+    if out.ndim == 2:
+        out = out[..., None]
+    return out

@@ -69,7 +69,9 @@ def rot2quat(rots: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    q_abs = jnp.sqrt(jnp.maximum(q, 0.0))
+    # floor keeps sqrt's backward finite for degenerate (e.g. padded) inputs;
+    # valid rotations always have max(q) >= 1 so the selected branch is exact
+    q_abs = jnp.sqrt(jnp.maximum(q, 1e-12))
 
     cand = jnp.stack(
         [

@@ -62,6 +62,10 @@ class TriangleMesh(TensorClass):
         acc = jnp.zeros_like(self.vertices)
         for k in range(3):
             acc = acc.at[self.indices[:, k]].add(contrib)
+        # vertices untouched by valid faces get a unit default instead of a
+        # zero normal — keeps downstream shading backward bounded
+        degenerate = jnp.sum(acc * acc, axis=-1, keepdims=True) < 1e-16
+        acc = jnp.where(degenerate, jnp.array([0.0, 0.0, 1.0]), acc)
         return gmath.safe_normalize(acc)
 
     def sample_surface(self, key: jax.Array, num_samples: int) -> tuple[jnp.ndarray, jnp.ndarray]:

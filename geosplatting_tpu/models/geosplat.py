@@ -1,0 +1,592 @@
+"""GeoSplatter stage 1 — FlexiCubes -> MGAdapter Gaussians -> split-sum PBR.
+
+Parity targets in ``rfstudio/model/geosplat.py``:
+- ``MGAdapter`` (:379-472): 2 concentric rings x 3 edge-midpoint anisotropic
+  flat Gaussians per face, quats from the tangent frame, interpolated vertex
+  normals as per-Gaussian normals, sqrt(area) normal offsets.
+- ``GaussianField`` (:483-674): hash-encoded kd (sigmoid MLP), ks (+initial
+  guess bias, sigmoid), z offsets, optional occ; face- and vertex-sampling
+  modes; jittered re-evaluation for smoothness regularization.
+- ``RenderableAttrs.splat`` (:44-132): split-sum GGX shading per Gaussian
+  (FG LUT, prefiltered env sampling, metallic/roughness remap), optional
+  back-face culling, naive/ACES tone mapping.
+- ``GeoSplatter`` (:678-942): parameters (sdf/deform/alpha-beta-gamma
+  weights/cubemap/exposure), get_geometry regularizers, white-balance light
+  reg, render_report with jitter smoothness regs.
+
+TPU-first: the model is a frozen config + a params pytree; everything below
+is shape-static (padded mesh -> fixed 6*F Gaussians with masked opacities)
+so one jitted train step covers the whole stage.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graphics import flexicubes as fc
+from ..graphics import gmath
+from ..graphics.cameras import Cameras
+from ..graphics.mesh import TriangleMesh
+from ..graphics.splats import Splats
+from ..ops import cubemap as cm
+from ..ops.hashgrid import HashGridConfig, hashgrid_encode
+from ..ops.rasterize import rasterize
+from .mlp import MLPConfig
+
+
+# --- tone mapping (geosplat.py:474-480) ---------------------------------------
+
+
+def tone_naive(rgb: jnp.ndarray, exposure: jnp.ndarray) -> jnp.ndarray:
+    x = rgb * exposure
+    return 1.0 - jax.nn.softplus((1.0 - x) * 100.0) / 100.0
+
+
+def tone_aces(rgb: jnp.ndarray, exposure: jnp.ndarray) -> jnp.ndarray:
+    x = rgb * exposure
+    return (x * (2.51 * x + 0.03)) / (x * (2.43 * x + 0.59) + 0.14)
+
+
+# --- MGAdapter (geosplat.py:379-472) --------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MGAdapter:
+    scale_ratio1: float = 0.5
+    scale_ratio2: float = 1.3
+    g_scale_ratio: float = 1.6
+    l_scale_ratio1: float = 1 / 3
+    l_scale_ratio2: float = 3.0
+    bias1: float = -1 / 24
+    bias2: float = 0.0
+
+    def bary2gs(self, p0, p1, area, normals, *, max_scale_ratio):
+        """Segment (p0, p1) + patch area + face normal -> flat anisotropic
+        Gaussian (means/scales/quats); 'colors' carry the shading normal."""
+        means = (p0 + p1) / 2
+        max_rots = p1 - means
+        max_scales = jnp.maximum(
+            jnp.sqrt(jnp.sum(max_rots**2, -1, keepdims=True) + 1e-24), 1e-10
+        )
+        min_scales = area / 4 / max_scales
+        max_rots = max_rots / max_scales
+        scales = jnp.concatenate(
+            (
+                jnp.log(self.g_scale_ratio * max_scale_ratio * max_scales),
+                jnp.log(jnp.maximum(self.g_scale_ratio / max_scale_ratio * min_scales, 1e-12)),
+                jnp.full_like(max_scales, -10.0),
+            ),
+            axis=-1,
+        )
+        min_rots = jnp.cross(normals, max_rots)
+        rot = jnp.stack((max_rots, min_rots, normals), axis=-1)  # columns
+        quats = gmath.rot2quat(rot)
+        return means, scales, quats
+
+    def make(
+        self, mesh: TriangleMesh
+    ) -> tuple[Splats, jnp.ndarray, jnp.ndarray]:
+        """Mesh -> 6 Gaussians/face. Returns (splats [6F], offsets [6F, 3],
+        valid [6F]); masked faces yield opacity ~0 Gaussians."""
+        vn = mesh.vertex_normals()
+        idx = mesh.indices
+        p0, p1, p2 = (mesh.vertices[idx[:, k]] for k in range(3))
+        vn0, vn1, vn2 = (vn[idx[:, k]] for k in range(3))
+        fmask = mesh.face_mask_or_ones()
+
+        cross = jnp.cross(p1 - p0, p2 - p0)
+        area = jnp.maximum(
+            jnp.sqrt(jnp.sum(cross**2, -1, keepdims=True) + 1e-24), 1e-10
+        ) / 2
+        normals = gmath.safe_normalize(
+            jnp.where(fmask[:, None], cross, jnp.array([0.0, 0.0, 1.0]))
+        )
+        offsets = jax.lax.stop_gradient(normals) * jnp.sqrt(
+            jax.lax.stop_gradient(area)
+        )
+
+        all_means, all_scales, all_quats, all_normals = [], [], [], []
+        for u_coeff, a_coeff, s_ratio in zip(
+            (1 / 9 + self.bias1, 2 / 9 + self.bias2),
+            (1 / 4 * self.l_scale_ratio1, 1 / 12 * self.l_scale_ratio2),
+            (self.scale_ratio1, self.scale_ratio2),
+        ):
+            u0 = p0 * (1 - 2 * u_coeff) + (p1 + p2) * u_coeff
+            u1 = p1 * (1 - 2 * u_coeff) + (p2 + p0) * u_coeff
+            u2 = p2 * (1 - 2 * u_coeff) + (p0 + p1) * u_coeff
+            n0 = vn0 * (1 - 2 * u_coeff) + (vn1 + vn2) * u_coeff
+            n1 = vn1 * (1 - 2 * u_coeff) + (vn2 + vn0) * u_coeff
+            n2 = vn2 * (1 - 2 * u_coeff) + (vn0 + vn1) * u_coeff
+            a = area * a_coeff
+            for (qa, qb), nn in (
+                ((u0, u1), (n0 + n1) / 2),
+                ((u1, u2), (n1 + n2) / 2),
+                ((u2, u0), (n2 + n0) / 2),
+            ):
+                m, s, q = self.bary2gs(qa, qb, a, normals, max_scale_ratio=s_ratio)
+                all_means.append(m)
+                all_scales.append(s)
+                all_quats.append(q)
+                all_normals.append(gmath.safe_normalize(nn))
+
+        means = jnp.concatenate(all_means)
+        f = idx.shape[0]
+        valid = jnp.tile(fmask, 6)
+        op = jnp.where(valid, float(np.log(0.99 / 0.01)), -20.0)[:, None]
+        splats = Splats(
+            means=means,
+            scales=jnp.concatenate(all_scales),
+            quats=jnp.concatenate(all_quats),
+            colors=jnp.concatenate(all_normals),  # shading normals
+            opacities=op,
+            shs=jnp.zeros((6 * f, 0, 3)),
+        )
+        return splats, jnp.tile(offsets, (6, 1)), valid
+
+
+# --- hash encodings -------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class HashEncoding:
+    """hashgrid + MLP head (encoding.py:100-241 semantics)."""
+
+    grid: HashGridConfig
+    mlp: MLPConfig
+
+    def init(self, key: jax.Array) -> dict:
+        k1, k2 = jax.random.split(key)
+        return {
+            "table": self.grid.init(k1),
+            "mlp": self.mlp.init(k2, input_dim=self.grid.output_dim),
+        }
+
+    def apply(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+        feats = hashgrid_encode(params["table"], x, self.grid)
+        return self.mlp.apply(params["mlp"], feats)
+
+
+def _default_enc(out_dim: int, activation: str, hidden: tuple[int, ...]) -> HashEncoding:
+    return HashEncoding(
+        grid=HashGridConfig(max_res=4096, log2_hashmap_size=18, grad_scaling=16.0),
+        mlp=MLPConfig(
+            layers=(-1,) + hidden + (out_dim,),
+            activation=activation,
+            bias=False,
+            initialization="kaiming-uniform",
+        ),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianField:
+    """Neural material field (geosplat.py:483-674)."""
+
+    kd_enc: HashEncoding = _default_enc(3, "sigmoid", (32, 32))
+    ks_enc: HashEncoding = _default_enc(2, "none", (32,))
+    z_enc: HashEncoding = _default_enc(1, "none", (32,))
+    occ_enc: HashEncoding | None = None
+
+    def init(self, key: jax.Array) -> dict:
+        ks = jax.random.split(key, 4)
+        params = {
+            "kd_enc": self.kd_enc.init(ks[0]),
+            "ks_enc": self.ks_enc.init(ks[1]),
+            "z_enc": self.z_enc.init(ks[2]),
+        }
+        if self.occ_enc is not None:
+            params["occ_enc"] = self.occ_enc.init(ks[3])
+        return params
+
+
+class RenderableAttrs(NamedTuple):
+    """Per-Gaussian shading inputs (geosplat.py:44-51)."""
+
+    kd: jnp.ndarray                 # [N, 3]
+    ks: jnp.ndarray                 # [N, 2] (roughness, metallic) pre-remap
+    normals: jnp.ndarray            # [N, 3]
+    occ: jnp.ndarray | None = None  # [N, 6]
+    kd_jitter: jnp.ndarray | None = None
+    ks_jitter: jnp.ndarray | None = None
+
+
+def get_gaussians_from_face(
+    field: GaussianField,
+    field_params: dict,
+    mesh: TriangleMesh,
+    *,
+    scale: float,
+    initial_guess: jnp.ndarray,        # [2]
+    kd_perturb_std: float = 0.0,
+    ks_perturb_std: float = 0.0,
+    key: jax.Array | None = None,
+) -> tuple[Splats, RenderableAttrs, jnp.ndarray, jnp.ndarray]:
+    """(splats, attrs, offsets, valid): geosplat.py:622-674."""
+    splats, offsets, valid = MGAdapter().make(mesh)
+    means = jnp.clip(splats.means / scale, -1, 1)
+
+    zs = jax.nn.sigmoid(
+        field.z_enc.apply(field_params["z_enc"], jax.lax.stop_gradient(means))
+    )
+    offsets = offsets * zs
+    shifted = splats.means - offsets
+
+    kd_jitter = ks_jitter = None
+    if kd_perturb_std > 0 and key is not None:
+        k1, k2 = jax.random.split(key)
+        pk = jax.random.normal(k1, means.shape) * kd_perturb_std
+        kd_jitter = field.kd_enc.apply(
+            field_params["kd_enc"], jnp.clip(means + pk, -1, 1)
+        )
+        if ks_perturb_std > 0:
+            ps = jax.random.normal(k2, means.shape) * ks_perturb_std
+            ks_jitter = jax.nn.sigmoid(
+                field.ks_enc.apply(field_params["ks_enc"], jnp.clip(means + ps, -1, 1))
+                + initial_guess
+            )
+
+    attrs = RenderableAttrs(
+        kd=field.kd_enc.apply(field_params["kd_enc"], means),
+        ks=jax.nn.sigmoid(
+            field.ks_enc.apply(field_params["ks_enc"], means) + initial_guess
+        ),
+        normals=splats.colors,
+        occ=(
+            field.occ_enc.apply(field_params["occ_enc"], means)
+            if field.occ_enc is not None
+            else None
+        ),
+        kd_jitter=kd_jitter,
+        ks_jitter=ks_jitter,
+    )
+    return splats.replace(means=shifted), attrs, offsets, valid
+
+
+def get_gaussians_from_vertex(
+    field: GaussianField,
+    field_params: dict,
+    mesh: TriangleMesh,
+    *,
+    scale: float,
+    initial_guess: jnp.ndarray,
+) -> tuple[Splats, RenderableAttrs, jnp.ndarray]:
+    """Vertex-area Gaussians for the warmup phase (geosplat.py:520-620).
+    Returns (splats, attrs, valid)."""
+    vn = mesh.vertex_normals()
+    idx = mesh.indices
+    fmask = mesh.face_mask_or_ones()
+    fv = mesh.face_vertices()
+    weighted_fn = jnp.cross(fv[:, 1] - fv[:, 0], fv[:, 2] - fv[:, 0])
+    weighted_fn = jnp.where(fmask[:, None], weighted_fn, 0.0)
+    # vertex area = sum over faces of (face_normal . vertex_normal) / 6
+    products = jnp.sum(
+        weighted_fn[:, None, :] * vn[idx], axis=-1
+    )  # [F, 3]
+    vertex_areas = jnp.zeros((mesh.num_vertices,))
+    for k in range(3):
+        vertex_areas = vertex_areas.at[idx[:, k]].add(
+            jnp.where(fmask, products[:, k], 0.0)
+        )
+    valid = vertex_areas > 1e-10
+    areas = jnp.maximum(vertex_areas, 1e-10)[:, None] / 6.0
+    # padded vertices have zero normals; give them a unit default so the
+    # shading backward stays bounded (their opacity is zeroed anyway)
+    vn = jnp.where(valid[:, None], vn, jnp.array([0.0, 0.0, 1.0]))
+
+    log_sqrt_areas = jnp.log(areas / 2.5) * 0.5
+    enc_in = jnp.clip(mesh.vertices / scale, -1, 1)
+    zs = jax.nn.sigmoid(
+        field.z_enc.apply(field_params["z_enc"], jax.lax.stop_gradient(enc_in))
+    )
+    z_off = jnp.exp(jax.lax.stop_gradient(log_sqrt_areas)) * zs
+    positions = mesh.vertices - vn * z_off
+
+    base_rot = gmath.rotation_from_relative_vectors(
+        jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), vn.shape),
+        jax.lax.stop_gradient(vn),
+    )
+    scales = jnp.concatenate(
+        (log_sqrt_areas, log_sqrt_areas, jnp.full_like(log_sqrt_areas, -23.0)),
+        axis=-1,
+    )
+    attrs = RenderableAttrs(
+        kd=field.kd_enc.apply(field_params["kd_enc"], enc_in),
+        ks=jax.nn.sigmoid(
+            field.ks_enc.apply(field_params["ks_enc"], enc_in) + initial_guess
+        ),
+        normals=vn,
+        occ=(
+            field.occ_enc.apply(field_params["occ_enc"], enc_in)
+            if field.occ_enc is not None
+            else None
+        ),
+    )
+    v = positions.shape[0]
+    op = jnp.where(valid, float(np.log(0.99 / 0.01)), -20.0)[:, None]
+    splats = Splats(
+        means=positions,
+        scales=scales,
+        quats=gmath.rot2quat(base_rot),
+        colors=vn,
+        opacities=op,
+        shs=jnp.zeros((v, 0, 3)),
+    )
+    return splats, attrs, valid
+
+
+def shade_splitsum(
+    splats: Splats,
+    attrs: RenderableAttrs,
+    camera: Cameras,
+    *,
+    exposure: jnp.ndarray,             # []
+    env_base: jnp.ndarray,
+    env_mips: list[jnp.ndarray],
+    min_roughness: float,
+    max_metallic: float,
+    mode: str = "pbr",
+    tone_type: str = "naive",
+    culling: bool = False,
+    tile_capacity: int = 1024,
+    pairs_per_gaussian: int = 6,
+    tile_chunk: int = 8,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """RenderableAttrs.splat (geosplat.py:53-132): per-Gaussian split-sum GGX
+    radiance, antialiased rasterization, tone mapping. Returns [H, W, 4]."""
+    camera_pos = camera.c2w[:, 3]
+    wo = gmath.safe_normalize(camera_pos - splats.means)
+    opacities = jax.nn.sigmoid(splats.opacities[:, 0])
+    if culling:
+        front = jnp.sum(attrs.normals * wo, -1) > 0.0
+        opacities = jnp.where(jax.lax.stop_gradient(front), opacities, 0.0)
+
+    roughness = attrs.ks[:, 0:1] * (1 - min_roughness) + min_roughness
+    metallic = attrs.ks[:, 1:2] * max_metallic
+    specular = (1.0 - metallic) * 0.04 + attrs.kd * metallic
+    diffuse = attrs.kd * (1.0 - metallic)
+
+    n_dot_v = jnp.clip(jnp.sum(attrs.normals * wo, -1, keepdims=True), 1e-6, None)
+    fg = cm.sample_fg_lut(n_dot_v, roughness)  # [N, 2]
+    inv_wi = 2.0 * jnp.sum(wo * attrs.normals, -1, keepdims=True) * attrs.normals - wo
+    l_diff, l_spec = cm.sample_splitsum(
+        env_base, env_mips, attrs.normals, inv_wi, roughness
+    )
+    reflectance = specular * fg[:, 0:1] + fg[:, 1:2]
+    if mode == "pbr":
+        colors = diffuse + l_spec * reflectance
+    elif mode == "diffuse":
+        colors = l_diff * diffuse
+    elif mode == "specular":
+        colors = l_spec * reflectance
+    else:
+        raise ValueError(mode)
+
+    render, alpha, _ = rasterize(
+        splats.means,
+        gmath.safe_normalize(splats.quats),
+        jnp.exp(splats.scales),
+        opacities,
+        colors,
+        camera.view_matrix,
+        camera.intrinsic_matrix,
+        camera.width,
+        camera.height,
+        rasterize_mode="antialiased",
+        tile_capacity=tile_capacity,
+        pairs_per_gaussian=pairs_per_gaussian,
+        tile_chunk=tile_chunk,
+        backend=backend,
+    )
+    rgb = render[..., :3]
+    if tone_type == "naive":
+        rgb = tone_naive(rgb, exposure)
+    elif tone_type == "aces":
+        rgb = tone_aces(rgb, exposure)
+    elif tone_type != "none":
+        raise ValueError(tone_type)
+    if tone_type == "none":
+        rgb = rgb * exposure
+    return jnp.concatenate((rgb, alpha), axis=-1)
+
+
+# --- GeoSplatter (stage-1 model) -------------------------------------------------
+
+_INITIAL_GUESS = {
+    "outdoor": (0.0, 0.0),
+    "diffuse": (0.0, -3.0),
+    "hybrid": (-3.0, -3.0),
+    "specular": (-3.0, 0.0),
+    "glossy": (-3.0, 0.0),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class GeoSplatter:
+    background_color: str = "random"
+    resolution: int = 32
+    light_resolution: int = 512
+    field: GaussianField = GaussianField()
+    scale: float = 1.05
+    min_roughness: float = 0.1
+    max_metallic: float = 1.0
+    initial_guess: str = "hybrid"
+    smooth_type: str = "jitter"
+    surf_cube_budget: float = 8.0
+    surf_edge_budget: float = 8.0
+    tile_capacity: int = 1024
+    pairs_per_gaussian: int = 6
+    tile_chunk: int = 8
+    env_num_samples: int = 64
+    backend: str = "auto"
+
+    def make_grid(self) -> fc.FlexiCubesGrid:
+        return fc.make_grid(
+            self.resolution,
+            scale=self.scale,
+            surf_cube_budget=self.surf_cube_budget,
+            surf_edge_budget=self.surf_edge_budget,
+        )
+
+    def init(self, key: jax.Array) -> dict[str, Any]:
+        grid = self.make_grid()
+        k1, k2 = jax.random.split(key)
+        return {
+            "sdf": jax.random.uniform(k1, (grid.num_vertices,)) - 0.1,
+            "deform": jnp.zeros((grid.num_vertices, 3)),
+            "weights": jnp.zeros((grid.num_cubes, 21)),
+            "cubemap": jnp.full(
+                (6, self.light_resolution, self.light_resolution, 3), 0.5
+            ),
+            "exposure": jnp.zeros((1,)),
+            "field": self.field.init(k2),
+        }
+
+    def initial_guess_bias(self) -> jnp.ndarray:
+        return jnp.asarray(_INITIAL_GUESS[self.initial_guess])
+
+    # --- stage pieces (geosplat.py:751-785) ---------------------------------
+    def get_geometry(self, params: dict, sdf_weight: float = 0.0) -> tuple[
+        TriangleMesh, jnp.ndarray, fc.ExtractedMesh
+    ]:
+        grid = self.make_grid()
+        out = fc.extract(
+            grid,
+            params["sdf"],
+            params["deform"],
+            alpha=params["weights"][:, :8],
+            beta=params["weights"][:, 8:20],
+            gamma=params["weights"][:, 20:],
+        )
+        reg = out.l_dev * 0.5 + jnp.abs(params["weights"][:, :20]).mean() * 0.1
+        if sdf_weight > 0:
+            reg = reg + fc.sdf_entropy(grid, params["sdf"]) * sdf_weight
+        return out.mesh, reg, out
+
+    def get_envmap(self, params: dict) -> tuple[jnp.ndarray, list, jnp.ndarray]:
+        cubemap = params["cubemap"]
+        white = cubemap.mean(-1, keepdims=True)
+        white_balance_reg = jnp.abs(cubemap - white).mean()
+        base, mips = cm.prefilter_splitsum(
+            cubemap, num_samples=self.env_num_samples
+        )
+        return base, mips, white_balance_reg
+
+    def get_background(self, key: jax.Array | None, training: bool) -> jnp.ndarray:
+        if self.background_color == "black":
+            return jnp.zeros(3)
+        if self.background_color == "white":
+            return jnp.ones(3)
+        if training and key is not None:
+            return jax.random.uniform(key, (3,))
+        return jnp.array([0.1490, 0.1647, 0.2157])
+
+    # --- full differentiable forward over a camera batch ---------------------
+    def render(
+        self,
+        params: dict,
+        cameras: Cameras,               # batched [B]
+        key: jax.Array,
+        *,
+        reg_weights: dict | None = None,  # traced scalars: sdf/occ/light/kd_grad/ks_grad
+        kd_perturb_std: float = 0.01,     # static (only gates extra encodings)
+        ks_perturb_std: float = 0.01,
+        sampling: str = "face",
+    ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
+        """Returns (rgba [B, H, W, 4] tone-mapped linear, regularization, aux).
+
+        ``reg_weights`` are traced so the per-step linear schedules
+        (geosplat_trainer.py:224-259) don't trigger recompiles."""
+        w = {"sdf": 0.0, "occ": 0.0, "light": 0.0, "kd_grad": 0.0, "ks_grad": 0.0}
+        if reg_weights:
+            w.update(reg_weights)
+        grid = self.make_grid()
+        mesh, reg, extracted = self.get_geometry(params)
+        reg = reg + fc.sdf_entropy(grid, params["sdf"]) * w["sdf"]
+
+        k_field, _ = jax.random.split(key)
+        use_jitter = self.smooth_type == "jitter"
+        if sampling == "face":
+            splats, attrs, _, valid = get_gaussians_from_face(
+                self.field,
+                params["field"],
+                mesh,
+                scale=self.scale,
+                initial_guess=self.initial_guess_bias(),
+                kd_perturb_std=kd_perturb_std if use_jitter else 0.0,
+                ks_perturb_std=ks_perturb_std if use_jitter else 0.0,
+                key=k_field,
+            )
+        elif sampling == "vertex":
+            splats, attrs, valid = get_gaussians_from_vertex(
+                self.field,
+                params["field"],
+                mesh,
+                scale=self.scale,
+                initial_guess=self.initial_guess_bias(),
+            )
+        else:
+            raise ValueError(sampling)
+        base, mips, light_reg = self.get_envmap(params)
+        exposure = jnp.exp(params["exposure"][0])
+
+        if attrs.kd_jitter is not None:
+            reg = reg + w["kd_grad"] * jnp.abs(attrs.kd_jitter - attrs.kd).mean()
+        if attrs.ks_jitter is not None:
+            reg = reg + w["ks_grad"] * jnp.abs(attrs.ks_jitter - attrs.ks).mean()
+        if attrs.occ is not None:
+            reg = reg + w["occ"] * jnp.abs(attrs.occ).mean()
+        reg = reg + light_reg * w["light"]
+
+        # checkpoint: without it the scan over cameras saves [B, N, ...]
+        # per-camera shading residuals (with massive lane padding for
+        # trailing dim 3) and blows HBM; recomputing shading in the backward
+        # is far cheaper than storing it
+        @jax.checkpoint
+        def render_one(cam):
+            return shade_splitsum(
+                splats,
+                attrs._replace(kd_jitter=None, ks_jitter=None),
+                cam,
+                exposure=exposure,
+                env_base=base,
+                env_mips=mips,
+                min_roughness=self.min_roughness,
+                max_metallic=self.max_metallic,
+                tile_capacity=self.tile_capacity,
+                pairs_per_gaussian=self.pairs_per_gaussian,
+                tile_chunk=self.tile_chunk,
+                backend=self.backend,
+            )
+
+        rgba = jax.lax.map(render_one, cameras)
+        aux = {
+            "num_gaussians": valid.sum(),
+            "num_surf_cubes": extracted.num_surf_cubes,
+            "num_surf_edges": extracted.num_surf_edges,
+        }
+        return rgba, reg, aux

@@ -86,7 +86,11 @@ def project(
     det = a_b * c_b - b * b
 
     if rasterize_mode == "antialiased":
-        comp = jnp.sqrt(jnp.maximum(det_orig / jnp.maximum(det, 1e-12), 0.0))
+        # clamp (not just floor at 0): sqrt has an unbounded backward at 0,
+        # which perfectly-flat Gaussians (det_orig ~ 0) would turn into NaNs;
+        # clamping blocks their gradient instead
+        ratio = jnp.clip(det_orig / jnp.maximum(det, 1e-12), 1e-10, 1.0)
+        comp = jnp.sqrt(ratio)
         op = opacities * comp
     elif rasterize_mode == "classic":
         op = opacities

@@ -1,0 +1,119 @@
+"""Config-as-code serialization + a dataclass CLI.
+
+Parity targets: ``rfstudio/utils/dataclass.py:60-108`` (dump any nested
+dataclass as an executable Python script and re-import it — the reference's
+"checkpoint of config" trick, kept because it is genuinely good) and the
+tyro-based ``Task``/``TaskGroup`` subcommand surface
+(``rfstudio/engine/task.py:104,170``) rebuilt on argparse (tyro is not in
+this image)."""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import importlib.util
+import sys
+from pathlib import Path
+from typing import Any
+
+
+def dump_dataclass_as_str(obj: Any, name: str = "task") -> str:
+    """Serialize a (nested) dataclass instance as an executable script that
+    rebuilds it into a module-level variable ``task``."""
+    modules = {}
+
+    def render(x) -> str:
+        if dataclasses.is_dataclass(x) and not isinstance(x, type):
+            cls = type(x)
+            modules[cls.__module__] = None
+            fields = []
+            for f in dataclasses.fields(x):
+                v = getattr(x, f.name)
+                default = f.default if f.default is not dataclasses.MISSING else (
+                    f.default_factory() if f.default_factory is not dataclasses.MISSING else dataclasses.MISSING
+                )
+                try:
+                    skip = v == default
+                except Exception:
+                    skip = False
+                if skip is True:
+                    continue
+                fields.append(f"{f.name}={render(v)}")
+            return f"{cls.__module__}.{cls.__qualname__}({', '.join(fields)})"
+        if isinstance(x, Path):
+            modules["pathlib"] = None
+            return f"pathlib.Path({str(x)!r})"
+        if isinstance(x, (list, tuple)):
+            inner = ", ".join(render(v) for v in x)
+            return f"[{inner}]" if isinstance(x, list) else f"({inner},)" if len(x) == 1 else f"({inner})"
+        if isinstance(x, dict):
+            return "{" + ", ".join(f"{render(k)}: {render(v)}" for k, v in x.items()) + "}"
+        return repr(x)
+
+    body = render(obj)
+    imports = "\n".join(f"import {m}" for m in sorted(modules))
+    return f"{imports}\n\n{name} = {body}\n"
+
+
+def load_dataclass(script_path: Path, name: str = "task") -> Any:
+    """Execute a dumped config script and return its ``task`` object."""
+    spec = importlib.util.spec_from_file_location("_loaded_task", script_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return getattr(mod, name)
+
+
+# --- dataclass CLI ------------------------------------------------------------
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cls, prefix: str = ""):
+    for f in dataclasses.fields(cls):
+        name = f"{prefix}{f.name}"
+        if dataclasses.is_dataclass(f.type) or (
+            isinstance(f.default, object) and dataclasses.is_dataclass(type(f.default))
+            and not isinstance(f.default, type)
+        ):
+            sub = type(f.default) if not isinstance(f.type, type) else f.type
+            if dataclasses.is_dataclass(sub):
+                _add_dataclass_args(parser, sub, prefix=f"{name}.")
+                continue
+        typ = f.type if isinstance(f.type, type) else str
+        if typ is bool:
+            parser.add_argument(f"--{name}", type=lambda s: s.lower() in ("1", "true", "yes"))
+        elif typ in (int, float, str):
+            parser.add_argument(f"--{name}", type=typ)
+        else:
+            parser.add_argument(f"--{name}", type=str)
+
+
+def _apply_overrides(obj, overrides: dict[str, Any]):
+    """Rebuild a frozen dataclass tree with dotted-path overrides."""
+    by_child: dict[str, dict] = {}
+    direct = {}
+    for k, v in overrides.items():
+        if v is None:
+            continue
+        if "." in k:
+            head, rest = k.split(".", 1)
+            by_child.setdefault(head, {})[rest] = v
+        else:
+            direct[k] = v
+    changes = dict(direct)
+    for head, sub in by_child.items():
+        changes[head] = _apply_overrides(getattr(obj, head), sub)
+    return dataclasses.replace(obj, **changes) if changes else obj
+
+
+def run_task_group(tasks: dict[str, Any], argv: list[str] | None = None) -> Any:
+    """The TaskGroup CLI (engine/task.py:170-194): each named preset becomes
+    a subcommand whose dataclass fields are ``--dotted.path`` flags. Returns
+    the configured task after calling its ``run()``."""
+    argv = sys.argv[1:] if argv is None else argv
+    parser = argparse.ArgumentParser()
+    subs = parser.add_subparsers(dest="command", required=True)
+    for name, task in tasks.items():
+        sp = subs.add_parser(name)
+        _add_dataclass_args(sp, type(task))
+    args = vars(parser.parse_args(argv))
+    command = args.pop("command")
+    task = _apply_overrides(tasks[command], args)
+    return task.run()
