@@ -91,12 +91,32 @@ def bin_gaussians(
     in_range = slot < jnp.minimum(total, max_pairs)
     tile_id = jnp.where(in_range, tile_id, num_tiles)  # sentinel bucket
 
-    depth_key = jnp.where(
-        in_range, _float_sort_key(jax.lax.stop_gradient(proj.depths))[gid], jnp.iinfo(jnp.int32).max
-    )
-    sorted_tile, _, sorted_gid = jax.lax.sort(
-        (tile_id, depth_key, gid), dimension=0, num_keys=2
-    )
+    # pack (tile, depth) into one 31-bit key: a single-key sort is ~2x the
+    # throughput of a two-key lexicographic sort on TPU. Depth quantization
+    # only reorders Gaussians closer than ~2^-depth_bits in relative depth.
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    depth_bits = 31 - tile_bits
+    if depth_bits >= 16:
+        depth = jax.lax.stop_gradient(proj.depths)[gid]
+        dmin = jnp.min(jnp.where(proj.radii > 0, proj.depths, jnp.inf))
+        dmax = jnp.max(jnp.where(proj.radii > 0, proj.depths, -jnp.inf))
+        dq = jnp.clip(
+            ((depth - dmin) / jnp.maximum(dmax - dmin, 1e-12)
+             * ((1 << depth_bits) - 1)).astype(jnp.int32),
+            0, (1 << depth_bits) - 1,
+        )
+        packed = tile_id * (1 << depth_bits) + jnp.where(in_range, dq, 0)
+        sorted_key, sorted_gid = jax.lax.sort((packed, gid), dimension=0, num_keys=1)
+        sorted_tile = sorted_key // (1 << depth_bits)
+    else:
+        depth_key = jnp.where(
+            in_range,
+            _float_sort_key(jax.lax.stop_gradient(proj.depths))[gid],
+            jnp.iinfo(jnp.int32).max,
+        )
+        sorted_tile, _, sorted_gid = jax.lax.sort(
+            (tile_id, depth_key, gid), dimension=0, num_keys=2
+        )
 
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
     seg_start = jnp.searchsorted(sorted_tile, tile_range, side="left")
