@@ -227,7 +227,8 @@ def sh_dim2deg(dim: int) -> int:
 
 
 def latlng_dir(theta: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
-    """(theta in [0,pi] from +y pole, phi in [0,2pi)) -> unit direction, y-up."""
+    """(theta in [0,pi] from +y pole, phi in [-pi,pi) with 0 at -z) -> unit
+    direction, y-up. Matches the reference's _tc_to_dir with phi = (u-0.5)*2pi."""
     sin_t = jnp.sin(theta)
     return jnp.stack(
         (sin_t * jnp.sin(phi), jnp.cos(theta), -sin_t * jnp.cos(phi)), axis=-1
@@ -235,8 +236,9 @@ def latlng_dir(theta: jnp.ndarray, phi: jnp.ndarray) -> jnp.ndarray:
 
 
 def dir_to_latlng_uv(d: jnp.ndarray) -> jnp.ndarray:
-    """Unit direction -> equirect uv in [0,1]^2 (u: phi, v: theta)."""
+    """Unit direction -> equirect uv in [0,1]^2 (u: phi with -z at u=0.5,
+    v: theta) — the reference's _dir_to_tc convention (kernel.cu:124-129)."""
     d = safe_normalize(d)
     theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
-    phi = jnp.arctan2(d[..., 0], -d[..., 2]) % (2.0 * jnp.pi)
-    return jnp.stack((phi / (2.0 * jnp.pi), theta / jnp.pi), axis=-1)
+    u = jnp.arctan2(d[..., 0], -d[..., 2]) / (2.0 * jnp.pi) + 0.5
+    return jnp.stack((u, theta / jnp.pi), axis=-1)

@@ -89,7 +89,8 @@ def mesh_edge_loss(mesh: TriangleMesh, target_length: float = 0.0) -> jnp.ndarra
     e = jnp.stack(
         (fv[:, 0] - fv[:, 1], fv[:, 1] - fv[:, 2], fv[:, 2] - fv[:, 0]), axis=1
     )
-    l = jnp.linalg.norm(e, axis=-1)  # noqa: E741
+    # guarded norm: padded/degenerate faces have zero-length edges
+    l = jnp.sqrt(jnp.sum(e * e, axis=-1) + 1e-20)  # noqa: E741
     per = (l - target_length) ** 2 * mask[:, None]
     return per.sum() / jnp.maximum(mask.sum() * 3, 1.0)
 
@@ -111,7 +112,11 @@ def uniform_laplacian_smoothing(mesh: TriangleMesh) -> jnp.ndarray:
     lap = acc / jnp.maximum(deg, 1.0)[:, None] - jnp.where(
         (deg > 0)[:, None], mesh.vertices, 0.0
     )
-    return jnp.linalg.norm(lap, axis=-1).sum() / jnp.maximum((deg > 0).sum(), 1)
+    # guarded norm: unconnected (padded) vertices have lap == 0 exactly and a
+    # bare norm would poison gradients
+    lap_norm = jnp.sqrt(jnp.sum(lap * lap, axis=-1) + 1e-20)
+    lap_norm = jnp.where(deg > 0, lap_norm, 0.0)
+    return lap_norm.sum() / jnp.maximum((deg > 0).sum(), 1)
 
 
 def mesh_normal_consistency(mesh: TriangleMesh) -> jnp.ndarray:

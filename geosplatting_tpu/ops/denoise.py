@@ -7,6 +7,8 @@ accumulation (pure jnp; XLA fuses the shifts), differentiable into the
 color input."""
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 
@@ -32,8 +34,8 @@ def bilateral_denoise(
             t_nrm = jnp.roll(normal, (-fy, -fx), axis=(0, 1))
             t_z = jnp.roll(depth, (-fy, -fx), axis=(0, 1))
             dist_sqr = fx * fx + fy * fy
-            dist = float(dist_sqr ** 0.5)
-            w_xy = float(jnp.exp(-dist_sqr / (2.0 * variance)))
+            dist = math.sqrt(dist_sqr)
+            w_xy = math.exp(-dist_sqr / (2.0 * variance))
             w_n = jnp.clip((t_nrm * normal).sum(-1, keepdims=True), 1e-4, 1.0) ** 128.0
             w_z = jnp.exp(
                 -jnp.abs(t_z - depth) / jnp.maximum(depth_grad * dist, 1e-4)

@@ -35,10 +35,13 @@ class LightPdf(NamedTuple):
 
 
 def compute_light_pdf(data: jnp.ndarray) -> LightPdf:
-    """TextureLatLng.compute_pdf_ (_texture.py:287-305)."""
+    """TextureLatLng.compute_pdf_ (_texture.py:287-305). The pdf/cdf tables
+    are gradient-stopped, matching the reference's @torch.no_grad (radiance
+    gradients flow through eval_light, not the sampler)."""
     h, w = data.shape[:2]
     y = (jnp.arange(h) + 0.5) / h
-    pdf = jnp.maximum(data.max(-1), 1e-3) * jnp.sin(y * jnp.pi)[:, None]
+    sg_data = jax.lax.stop_gradient(data)
+    pdf = jnp.maximum(sg_data.max(-1), 1e-3) * jnp.sin(y * jnp.pi)[:, None]
     pdf = pdf / pdf.sum()
     cols = jnp.cumsum(pdf, axis=1)
     rows = jnp.cumsum(cols[:, -1], axis=0)
@@ -197,8 +200,9 @@ def _ggx_vndf_sample(n, wo, u1, u2, alpha):
     p1 = r * jnp.cos(phi)
     p2 = r * jnp.sin(phi)
     s = 0.5 * (1.0 + vh[..., 2])
-    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) + s * p2
-    p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+    # eps floors keep sqrt's backward finite when the argument rounds to 0
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 1e-12)) + s * p2
+    p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 1e-12))
     m_l = gmath.safe_normalize(
         p1[..., None] * t1 + p2[..., None] * t2 + p3[..., None] * vh
     )

@@ -42,6 +42,7 @@ def project(
     far: float = 1e10,
     rasterize_mode: str = "classic",
     radius_clip: float = 0.0,
+    lim_override: tuple | None = None,
 ) -> Projected:
     R = viewmat[:3, :3]
     t = viewmat[:3, 3]
@@ -61,9 +62,14 @@ def project(
     V = jnp.einsum("ij,njk->nik", W, cov_world_half)  # [N, 3, 3]
     cov_cam = V @ jnp.swapaxes(V, -1, -2)
 
-    # clamp the tangent-plane coords to slightly outside the frustum (gsplat)
-    lim_x = 1.3 * (0.5 * width / fx + jnp.abs(cx / fx - 0.5 * width / fx))
-    lim_y = 1.3 * (0.5 * height / fy + jnp.abs(cy / fy - 0.5 * height / fy))
+    # clamp the tangent-plane coords to slightly outside the frustum (gsplat);
+    # image-sharded rendering overrides with the full-image limits so bands
+    # reproduce the single-device result exactly
+    if lim_override is not None:
+        lim_x, lim_y = lim_override
+    else:
+        lim_x = 1.3 * (0.5 * width / fx + jnp.abs(cx / fx - 0.5 * width / fx))
+        lim_y = 1.3 * (0.5 * height / fy + jnp.abs(cy / fy - 0.5 * height / fy))
     tx = z * jnp.clip(p_cam[:, 0] * rz, -lim_x, lim_x)
     ty = z * jnp.clip(p_cam[:, 1] * rz, -lim_y, lim_y)
 

@@ -31,6 +31,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..graphics import gmath
 from .projection import Projected, project
@@ -59,6 +60,8 @@ def bin_gaussians(
     tile_size: int,
     max_pairs: int,
     tile_capacity: int,
+    near: float = 0.01,
+    far: float = 1e10,
 ) -> TileBins:
     tw = -(-width // tile_size)
     th = -(-height // tile_size)
@@ -97,11 +100,12 @@ def bin_gaussians(
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     depth_bits = 31 - tile_bits
     if depth_bits >= 16:
+        # camera-constant log-depth quantization: ~2^-19 relative depth
+        # resolution, and deterministic across image shards (tile_sharding)
         depth = jax.lax.stop_gradient(proj.depths)[gid]
-        dmin = jnp.min(jnp.where(proj.radii > 0, proj.depths, jnp.inf))
-        dmax = jnp.max(jnp.where(proj.radii > 0, proj.depths, -jnp.inf))
+        log_span = float(np.log(max(far / near, 1.0 + 1e-6)))
         dq = jnp.clip(
-            ((depth - dmin) / jnp.maximum(dmax - dmin, 1e-12)
+            (jnp.log(jnp.maximum(depth / near, 1e-6)) / log_span
              * ((1 << depth_bits) - 1)).astype(jnp.int32),
             0, (1 << depth_bits) - 1,
         )
@@ -226,6 +230,7 @@ def rasterize(
     means2d_offset: jnp.ndarray | None = None,
     tile_chunk: int = 8,
     backend: str = "auto",
+    lim_override: tuple | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Render one camera. Returns (render [H,W,C(+1)], alpha [H,W,1], info).
 
@@ -238,6 +243,7 @@ def rasterize(
     proj = project(
         means, quats, scales, opacities, viewmat, K, width, height,
         near=near, far=far, rasterize_mode=rasterize_mode, radius_clip=radius_clip,
+        lim_override=lim_override,
     )
     means2d = proj.means2d
     if means2d_offset is not None:
@@ -255,6 +261,7 @@ def rasterize(
     bins = bin_gaussians(
         proj, width, height,
         tile_size=tile_size, max_pairs=max_pairs, tile_capacity=tile_capacity,
+        near=near, far=far,
     )
     tw, th = bins.num_tiles_xy
     ty, tx = jnp.meshgrid(jnp.arange(th), jnp.arange(tw), indexing="ij")

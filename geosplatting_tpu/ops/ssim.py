@@ -50,6 +50,7 @@ def ssim(
     k2: float = 0.03,
 ) -> jnp.ndarray:
     """Mean SSIM over [..., H, W, C] images."""
+    window_size = min(window_size, pred.shape[-2], pred.shape[-3])
     (window,) = _gaussian_kernel(window_size, sigma)
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2

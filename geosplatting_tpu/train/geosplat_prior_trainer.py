@@ -1,0 +1,126 @@
+"""Mesh-prior training recipe (parity: ``rfstudio/trainer/
+geosplat_prior_trainer.py:20-242``): like the MC trainer but geometry is the
+vertex-offset group at lr 1e-4 (:22-108)."""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..graphics import images as gimages
+from ..graphics.cameras import Cameras
+from ..graphics.mesh import TriangleMesh
+from ..models.geosplat_prior import GeoSplatterPrior
+from ..ops.ssim import ssim_l1_loss
+from .optim import GroupOptimizers, OptimizerSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class GeoSplatPriorTrainerConfig:
+    num_steps: int = 500
+    batch_size: int = 8
+    geometry_lr: float = 1e-4
+    cov3d_lr: float = 3e-3
+    appearance_lr: float = 1e-2
+    light_lr: float = 1e-2
+    base_decay: int | None = 800
+    base_eps: float = 1e-15
+    occ_weight: float = 1e-3
+    kd_grad_reg: float = 0.03
+    ks_grad_reg: float = 0.03
+    kd_perturb_std: float = 0.01
+    ks_perturb_std: float = 0.01
+    use_mask_loss: bool = True
+    light_grad_scale: float = 64.0
+
+
+class GeoSplatPriorTrainer:
+    def __init__(self, config: GeoSplatPriorTrainerConfig, model: GeoSplatterPrior):
+        self.config = config
+        self.model = model
+        c = config
+        mk = lambda lr: OptimizerSpec(lr=lr, eps=c.base_eps, lr_decay=c.base_decay)  # noqa: E731
+        self.optimizers = GroupOptimizers({
+            "deform": mk(c.geometry_lr),
+            "kd": mk(c.appearance_lr),
+            "occ": mk(c.appearance_lr),
+            "ks": mk(c.appearance_lr * 0.2),
+            "z": mk(c.cov3d_lr),
+            "exposure": mk(c.light_lr * 0.5),
+            "light": mk(c.light_lr),
+        })
+
+    def _groups(self, p: dict) -> dict:
+        return {
+            "deform": p["deform"],
+            "kd": p["field"]["kd_enc"],
+            "occ": p["field"]["occ_enc"],
+            "ks": p["field"]["ks_enc"],
+            "z": p["field"]["z_enc"],
+            "exposure": p["exposure"],
+            "light": p["latlng"],
+        }
+
+    def _ungroups(self, g: dict, p: dict) -> dict:
+        out = dict(p)
+        out.update({
+            "deform": g["deform"], "exposure": g["exposure"], "latlng": g["light"],
+            "field": {
+                "kd_enc": g["kd"], "occ_enc": g["occ"],
+                "ks_enc": g["ks"], "z_enc": g["z"],
+            },
+        })
+        return out
+
+    def init_state(self, params: dict) -> dict[str, Any]:
+        return {"params": params, "opt_state": self.optimizers.init(self._groups(params))}
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def train_step(
+        self,
+        state: dict[str, Any],
+        base_mesh: TriangleMesh,
+        cameras: Cameras,
+        gt_rgba: jnp.ndarray,
+        key: jax.Array,
+        step: jnp.ndarray,
+    ) -> tuple[dict[str, Any], dict[str, jnp.ndarray]]:
+        c = self.config
+        rw = {
+            "occ": jnp.asarray(c.occ_weight),
+            "kd_grad": jnp.asarray(c.kd_grad_reg),
+            "ks_grad": jnp.asarray(c.ks_grad_reg),
+        }
+        k_render, k_bg = jax.random.split(key)
+
+        def loss_fn(params):
+            rgba, reg, aux = self.model.render(
+                params, base_mesh, cameras, k_render, reg_weights=rw,
+                kd_perturb_std=c.kd_perturb_std, ks_perturb_std=c.ks_perturb_std,
+            )
+            gt_linear = gimages.srgb2rgb(gt_rgba[..., :3])
+            mask = gt_rgba[..., 3:]
+            bg = jax.random.uniform(k_bg, rgba[..., :3].shape)
+            img1 = rgba[..., :3] + (1 - rgba[..., 3:]) * bg
+            img2 = gt_linear * mask + (1 - mask) * bg
+            loss = ssim_l1_loss(img1, img2)
+            if c.use_mask_loss:
+                loss = loss + 5.0 * jnp.mean((mask - rgba[..., 3:]) ** 2)
+            return loss + reg, (loss, reg, aux)
+
+        grads, (loss, reg, aux) = jax.grad(loss_fn, has_aux=True)(state["params"])
+        g = self._groups(grads)
+        g["light"] = g["light"] * c.light_grad_scale
+        new_groups, new_opt = self.optimizers.update(
+            g, state["opt_state"], self._groups(state["params"])
+        )
+        new_params = self._ungroups(new_groups, state["params"])
+        new_params["latlng"] = jnp.maximum(new_params["latlng"], 1e-3)
+        metrics = {
+            "loss": loss, "reg": reg,
+            "num_gaussians": aux["num_gaussians"],
+        }
+        return {"params": new_params, "opt_state": new_opt}, metrics

@@ -12,8 +12,9 @@ import __graft_entry__ as ge  # noqa: E402
 
 def test_entry_compiles():
     fn, args = ge.entry()
-    out = jax.jit(fn)(*args)
-    assert out.shape[-1] == 4
+    rgba, reg = jax.jit(fn)(*args)
+    assert rgba.shape[-1] == 4
+    assert reg.shape == ()
 
 
 def test_dryrun_multichip_8():

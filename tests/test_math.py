@@ -46,7 +46,7 @@ def test_latlng_uv_roundtrip():
     d = gmath.safe_normalize(jax.random.normal(jax.random.key(5), (128, 3)))
     uv = gmath.dir_to_latlng_uv(d)
     theta = uv[:, 1] * jnp.pi
-    phi = uv[:, 0] * 2 * jnp.pi
+    phi = (uv[:, 0] - 0.5) * 2 * jnp.pi
     d2 = gmath.latlng_dir(theta, phi)
     np.testing.assert_allclose(d, d2, atol=1e-5)
 
