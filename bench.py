@@ -46,7 +46,9 @@ def main() -> None:
     splats = splats.replace(opacities=jnp.full_like(splats.opacities, 1.0))
     model = GSplatter(
         sh_degree=0, tile_capacity=TILE_CAPACITY, background_color="black",
-        backend=os.environ.get("BENCH_BACKEND", "auto"),
+        backend=os.environ.get("BENCH_BACKEND", "pallas"),
+        pairs_per_gaussian=int(os.environ.get("BENCH_PAIRS", 6)),
+        camera_batching=os.environ.get("BENCH_CAMERA_BATCHING", "vmap"),
     )
     cams = Cameras.from_orbit(
         center=jnp.zeros(3), radius=2.5, elevation_degrees=15.0,

@@ -34,6 +34,7 @@ class GSplatter:
     pairs_per_gaussian: int = 8
     tile_chunk: int = 8
     backend: str = "auto"
+    camera_batching: str = "map"  # 'map' (sequential) | 'vmap' (batched sorts/kernels)
 
     # ---- helpers -------------------------------------------------------------
     def get_background_color(self, key: jax.Array | None, training: bool) -> jnp.ndarray:

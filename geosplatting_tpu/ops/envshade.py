@@ -80,7 +80,7 @@ def sample_light(light: LightPdf, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
     h, w = light.pdf.shape
     y = jnp.clip(jnp.searchsorted(light.rows, v, side="left"), 0, h - 1)
     prev_r = jnp.where(y > 0, light.rows[jnp.maximum(y - 1, 0)], 0.0)
-    ry = (v - prev_r) / jnp.maximum(light.rows[y] - prev_r, 1e-12)
+    ry = jnp.clip((v - prev_r) / jnp.maximum(light.rows[y] - prev_r, 1e-12), 0.0, 1.0)
     cols_y = light.cols[y]  # [..., W]
     x = jnp.clip(
         jax.vmap(jnp.searchsorted, in_axes=(0, 0))(
@@ -94,7 +94,7 @@ def sample_light(light: LightPdf, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
         0.0,
     )
     cx = jnp.take_along_axis(cols_y, x[..., None], -1)[..., 0]
-    rx = (u - prev_c) / jnp.maximum(cx - prev_c, 1e-12)
+    rx = jnp.clip((u - prev_c) / jnp.maximum(cx - prev_c, 1e-12), 0.0, 1.0)
     uv = jnp.stack(((x + rx) / w, (y + ry) / h), -1)
     return _tc_to_dir(uv)
 
@@ -148,11 +148,16 @@ def eval_bsdf(kd, arm, nrm, wo, wi, min_roughness=0.08):
     wi_n = gmath.dot(wi, nrm)[..., 0]
     wo_h = gmath.dot(wo, h)[..., 0]
     n_h = gmath.dot(nrm, h)[..., 0]
-    d = _ndf_ggx(alpha_sqr, n_h)
-    g = _masking_smith(alpha_sqr, wo_n, wi_n)
-    f = spec_col + (1.0 - spec_col) * jnp.clip(1.0 - wo_h, 0, 1)[..., None] ** 5
-    w = f * (d * g * 0.25 / jnp.maximum(wo_n, SPECULAR_EPS))[..., None]
     front = (wo_n > SPECULAR_EPS) & (wi_n > SPECULAR_EPS)
+    # dead-branch-safe denominator: keeps the masked-out branch's backward
+    # bounded (XLA computes both sides of the where; 0-cotangent times an
+    # overflowed partial still poisons gradients)
+    safe_wo_n = jnp.where(front, jnp.maximum(wo_n, SPECULAR_EPS), 1.0)
+    d = _ndf_ggx(alpha_sqr, jnp.where(front, n_h, 0.5))
+    g = _masking_smith(alpha_sqr, jnp.where(front, wo_n, 0.5),
+                       jnp.where(front, wi_n, 0.5))
+    f = spec_col + (1.0 - spec_col) * jnp.clip(1.0 - wo_h, 0, 1)[..., None] ** 5
+    w = f * (d * g * 0.25 / safe_wo_n)[..., None]
     return diffuse, jnp.where(front[..., None], w, 0.0)
 
 
@@ -160,13 +165,17 @@ def _ggx_vndf_pdf(n, wo, wi, alpha):
     t, b = gmath.build_tangent_frame(n)
     wo_l = jnp.stack([gmath.dot(wo, t)[..., 0], gmath.dot(wo, b)[..., 0], gmath.dot(wo, n)[..., 0]], -1)
     wi_l = jnp.stack([gmath.dot(wi, t)[..., 0], gmath.dot(wi, b)[..., 0], gmath.dot(wi, n)[..., 0]], -1)
+    valid = (wo_l[..., 2] > 0) & (wi_l[..., 2] > 0)
     m = gmath.safe_normalize(wo_l + wi_l)
     wo_h = jnp.sum(m * wo_l, -1)
-    d = _ndf_ggx(alpha * alpha, m[..., 2])
-    g1 = 1.0 / (1.0 + _lambda_ggx(alpha * alpha, wo_l[..., 2]))
-    pdf = g1 * d * jnp.maximum(wo_h, 0.0) / jnp.maximum(wo_l[..., 2], SPECULAR_EPS)
-    pdf = pdf / jnp.maximum(4 * wo_h, SPECULAR_EPS)
-    return jnp.where((wo_l[..., 2] > 0) & (wi_l[..., 2] > 0), pdf, 0.0)
+    # dead-branch-safe inputs (see eval_bsdf)
+    d = _ndf_ggx(alpha * alpha, jnp.where(valid, m[..., 2], 0.5))
+    g1 = 1.0 / (1.0 + _lambda_ggx(alpha * alpha, jnp.where(valid, wo_l[..., 2], 0.5)))
+    pdf = g1 * d * jnp.maximum(wo_h, 0.0) / jnp.where(
+        valid, jnp.maximum(wo_l[..., 2], SPECULAR_EPS), 1.0
+    )
+    pdf = pdf / jnp.where(valid, jnp.maximum(4 * wo_h, SPECULAR_EPS), 1.0)
+    return jnp.where(valid, pdf, 0.0)
 
 
 def _cosine_sample(n, u1, u2):

@@ -120,9 +120,12 @@ class GSplatTrainer:
                 )
                 return rgb, info["radii"]
 
-            rgbs, radii = jax.lax.map(
-                lambda args: render_one(*args), (cameras, m2d_off)
-            )
+            if self.model.camera_batching == "vmap":
+                rgbs, radii = jax.vmap(render_one)(cameras, m2d_off)
+            else:
+                rgbs, radii = jax.lax.map(
+                    lambda args: render_one(*args), (cameras, m2d_off)
+                )
             loss = ssim_l1_loss(rgbs, gt_rgb, ssim_lambda=self.config.ssim_lambda)
             return loss, (rgbs, radii)
 

@@ -1,6 +1,33 @@
 """The full three-stage pipeline chained at test scale, mirroring eval.sh:
 stage-1 train -> export -> stage-2 (MC) train -> export -> stage-3
-(deferred) train, each stage consuming the previous export."""
+(deferred) train, each stage consuming the previous export.
+
+Runs in a subprocess: this is the heaviest compilation workload in the
+suite and CPU XLA has shown an ordering-dependent crash when it runs after
+many other compilations in the same process (passes standalone)."""
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+
+def test_three_stage_chain_subprocess():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
+    env.pop("XLA_FLAGS", None)
+    result = subprocess.run(
+        [sys.executable, "-c",
+         "import tests.test_pipeline_3stage as m; m._run_chain()"],
+        env=env, capture_output=True, text=True,
+        cwd=Path(__file__).resolve().parents[1], timeout=3000,
+    )
+    assert result.returncode == 0, (
+        f"subprocess failed:\nstdout:{result.stdout[-2000:]}\n"
+        f"stderr:{result.stderr[-2000:]}"
+    )
+
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,7 +62,7 @@ def gt_views(cams):
     return jnp.concatenate((gimages.rgb2srgb(rgb) * a, a), -1)
 
 
-def test_three_stage_chain():
+def _run_chain():
     key = jax.random.key(0)
     cams = Cameras.from_orbit(
         center=jnp.zeros(3), radius=2.0, elevation_degrees=15.0,
