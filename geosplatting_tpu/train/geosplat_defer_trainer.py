@@ -17,6 +17,7 @@ from ..graphics import images as gimages
 from ..graphics.cameras import Cameras
 from ..models.geosplat_defer import GeoSplatterDefer
 from ..ops.ssim import ssim_l1_loss
+from .grad_utils import sanitize
 from .optim import GroupOptimizers, OptimizerSpec
 
 
@@ -154,6 +155,7 @@ class GeoSplatDeferTrainer:
         g = self._groups(grads)
         g["light_hue"] = g["light_hue"] * c.light_grad_scale
         g["light_value"] = g["light_value"] * c.light_grad_scale
+        g, nonfinite_grads = sanitize(g)
         new_groups, new_opt = self.optimizers.update(
             g, state["opt_state"], self._groups(state["params"])
         )
@@ -162,6 +164,7 @@ class GeoSplatDeferTrainer:
         new_params["latlng_hue"] = jnp.clip(new_params["latlng_hue"], 0.01, 0.99)
         new_params["kd"] = jnp.clip(new_params["kd"], 0.01, 0.99)
         metrics = {
+            "nonfinite_grads": nonfinite_grads,
             "loss": loss, "reg": reg, "splat_psnr": psnr,
             "num_gaussians": aux["num_gaussians"],
             "exposure": jnp.exp(state["params"]["exposure"][0]),

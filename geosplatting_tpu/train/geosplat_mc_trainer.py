@@ -17,6 +17,7 @@ from ..graphics import images as gimages
 from ..graphics.cameras import Cameras
 from ..models.geosplat_mc import GeoSplatterMC
 from ..ops.ssim import ssim_l1_loss
+from .grad_utils import sanitize
 from .optim import GroupOptimizers, OptimizerSpec
 
 
@@ -141,12 +142,14 @@ class GeoSplatMCTrainer:
         grads, (loss, reg, psnr, aux) = jax.grad(loss_fn, has_aux=True)(state["params"])
         g = self._groups(grads)
         g["light"] = g["light"] * c.light_grad_scale
+        g, nonfinite_grads = sanitize(g)
         new_groups, new_opt = self.optimizers.update(
             g, state["opt_state"], self._groups(state["params"])
         )
         new_params = self._ungroups(new_groups)
         new_params["latlng"] = jnp.maximum(new_params["latlng"], 1e-3)
         metrics = {
+            "nonfinite_grads": nonfinite_grads,
             "loss": loss, "reg": reg, "splat_psnr": psnr,
             "num_gaussians": aux["num_gaussians"],
             "exposure": jnp.exp(state["params"]["exposure"][0]),

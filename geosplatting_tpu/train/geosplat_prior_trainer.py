@@ -15,6 +15,7 @@ from ..graphics.cameras import Cameras
 from ..graphics.mesh import TriangleMesh
 from ..models.geosplat_prior import GeoSplatterPrior
 from ..ops.ssim import ssim_l1_loss
+from .grad_utils import sanitize
 from .optim import GroupOptimizers, OptimizerSpec
 
 
@@ -114,12 +115,14 @@ class GeoSplatPriorTrainer:
         grads, (loss, reg, aux) = jax.grad(loss_fn, has_aux=True)(state["params"])
         g = self._groups(grads)
         g["light"] = g["light"] * c.light_grad_scale
+        g, nonfinite_grads = sanitize(g)
         new_groups, new_opt = self.optimizers.update(
             g, state["opt_state"], self._groups(state["params"])
         )
         new_params = self._ungroups(new_groups, state["params"])
         new_params["latlng"] = jnp.maximum(new_params["latlng"], 1e-3)
         metrics = {
+            "nonfinite_grads": nonfinite_grads,
             "loss": loss, "reg": reg,
             "num_gaussians": aux["num_gaussians"],
         }

@@ -23,6 +23,7 @@ from ..graphics import images as gimages
 from ..graphics.cameras import Cameras
 from ..models.geosplat import GeoSplatter
 from ..ops.ssim import ssim_l1_loss
+from .grad_utils import sanitize
 from .optim import GroupOptimizers, OptimizerSpec
 
 
@@ -181,6 +182,7 @@ class GeoSplatTrainer:
         )
         g = self._groups(grads)
         g["light"] = g["light"] * c.light_grad_scale  # cubemap grad x64 hook
+        g, nonfinite_grads = sanitize(g)
         new_groups, new_opt = self.optimizers.update(
             g, state["opt_state"], self._groups(state["params"])
         )
@@ -188,6 +190,7 @@ class GeoSplatTrainer:
         # envmap clamp (geosplat_trainer.py:266)
         new_params["cubemap"] = jnp.maximum(new_params["cubemap"], 1e-2)
         metrics = {
+            "nonfinite_grads": nonfinite_grads,
             "loss": loss,
             "reg": reg,
             "splat_psnr": psnr,
