@@ -48,7 +48,7 @@ def main() -> None:
         sh_degree=0, tile_capacity=TILE_CAPACITY, background_color="black",
         backend=os.environ.get("BENCH_BACKEND", "pallas"),
         pairs_per_gaussian=int(os.environ.get("BENCH_PAIRS", 6)),
-        camera_batching=os.environ.get("BENCH_CAMERA_BATCHING", "vmap"),
+        camera_batching=os.environ.get("BENCH_CAMERA_BATCHING", "map"),
     )
     cams = Cameras.from_orbit(
         center=jnp.zeros(3), radius=2.5, elevation_degrees=15.0,

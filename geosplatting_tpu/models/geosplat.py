@@ -229,8 +229,14 @@ def get_gaussians_from_face(
     splats, offsets, valid = MGAdapter().make(mesh)
     means = jnp.clip(splats.means / scale, -1, 1)
 
+    # gradient-checkpointed encodings: hashgrid gather residuals dominate
+    # memory at large gaussian counts (the reference's use_checkpoint tier,
+    # geosplat.py:697-703); recomputing them in the backward is cheap
+    def ckpt(enc, p, x):
+        return jax.checkpoint(lambda pp, xx: enc.apply(pp, xx))(p, x)
+
     zs = jax.nn.sigmoid(
-        field.z_enc.apply(field_params["z_enc"], jax.lax.stop_gradient(means))
+        ckpt(field.z_enc, field_params["z_enc"], jax.lax.stop_gradient(means))
     )
     offsets = offsets * zs
     shifted = splats.means - offsets
@@ -239,24 +245,24 @@ def get_gaussians_from_face(
     if kd_perturb_std > 0 and key is not None:
         k1, k2 = jax.random.split(key)
         pk = jax.random.normal(k1, means.shape) * kd_perturb_std
-        kd_jitter = field.kd_enc.apply(
-            field_params["kd_enc"], jnp.clip(means + pk, -1, 1)
+        kd_jitter = ckpt(
+            field.kd_enc, field_params["kd_enc"], jnp.clip(means + pk, -1, 1)
         )
         if ks_perturb_std > 0:
             ps = jax.random.normal(k2, means.shape) * ks_perturb_std
             ks_jitter = jax.nn.sigmoid(
-                field.ks_enc.apply(field_params["ks_enc"], jnp.clip(means + ps, -1, 1))
+                ckpt(field.ks_enc, field_params["ks_enc"], jnp.clip(means + ps, -1, 1))
                 + initial_guess
             )
 
     attrs = RenderableAttrs(
-        kd=field.kd_enc.apply(field_params["kd_enc"], means),
+        kd=ckpt(field.kd_enc, field_params["kd_enc"], means),
         ks=jax.nn.sigmoid(
-            field.ks_enc.apply(field_params["ks_enc"], means) + initial_guess
+            ckpt(field.ks_enc, field_params["ks_enc"], means) + initial_guess
         ),
         normals=splats.colors,
         occ=(
-            field.occ_enc.apply(field_params["occ_enc"], means)
+            ckpt(field.occ_enc, field_params["occ_enc"], means)
             if field.occ_enc is not None
             else None
         ),
