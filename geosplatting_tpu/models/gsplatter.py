@@ -33,6 +33,7 @@ class GSplatter:
     tile_capacity: int = 1024
     pairs_per_gaussian: int = 8
     tile_chunk: int = 8
+    chunk_size: int = 128
     backend: str = "auto"
     camera_batching: str = "map"  # 'map' (sequential) | 'vmap' (batched sorts/kernels)
 
@@ -63,6 +64,7 @@ class GSplatter:
             tile_capacity=self.tile_capacity,
             pairs_per_gaussian=self.pairs_per_gaussian,
             tile_chunk=self.tile_chunk,
+            chunk_size=self.chunk_size,
             rasterize_mode=self.rasterize_mode if self.rasterize_mode != "2dgs" else "classic",
             backend=self.backend,
         )

@@ -55,12 +55,34 @@ def project(
         (fx * p_cam[:, 0] * rz + cx, fy * p_cam[:, 1] * rz + cy), axis=-1
     )
 
-    # EWA: cov2d = J W Cov3d W^T J^T
-    M = gmath.quat2rot(gmath.safe_normalize(quats)) * scales[:, None, :]  # [N,3,3]
-    cov_world_half = M                                                     # Sigma = M M^T
-    W = R  # world->cam rotation
-    V = jnp.einsum("ij,njk->nik", W, cov_world_half)  # [N, 3, 3]
-    cov_cam = V @ jnp.swapaxes(V, -1, -2)
+    # EWA: cov2d = J W Cov3d W^T J^T — fully unrolled [N]-column math.
+    # [N, 3, 3] batched einsums are poison on TPU (3-wide trailing dims pad to
+    # 128 lanes and the batch matmuls don't tile onto the MXU); per-entry
+    # vectors keep everything in dense fused VPU ops.
+    q = gmath.safe_normalize(quats)
+    qw, qx, qy, qz = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    r00 = 1 - 2 * (qy * qy + qz * qz)
+    r01 = 2 * (qx * qy - qw * qz)
+    r02 = 2 * (qx * qz + qw * qy)
+    r10 = 2 * (qx * qy + qw * qz)
+    r11 = 1 - 2 * (qx * qx + qz * qz)
+    r12 = 2 * (qy * qz - qw * qx)
+    r20 = 2 * (qx * qz - qw * qy)
+    r21 = 2 * (qy * qz + qw * qx)
+    r22 = 1 - 2 * (qx * qx + qy * qy)
+    rot = ((r00, r01, r02), (r10, r11, r12), (r20, r21, r22))
+    # B = W @ R_q per gaussian (W = world->cam rotation, scalar entries)
+    B = tuple(
+        tuple(
+            R[i, 0] * rot[0][j] + R[i, 1] * rot[1][j] + R[i, 2] * rot[2][j]
+            for j in range(3)
+        )
+        for i in range(3)
+    )
+    s2 = (scales[:, 0] ** 2, scales[:, 1] ** 2, scales[:, 2] ** 2)
+
+    def sig(i, k):  # Σ_cam[i, k] = Σ_j B[i,j] B[k,j] s_j²
+        return sum(B[i][j] * B[k][j] * s2[j] for j in range(3))
 
     # clamp the tangent-plane coords to slightly outside the frustum (gsplat);
     # image-sharded rendering overrides with the full-image limits so bands
@@ -73,19 +95,16 @@ def project(
     tx = z * jnp.clip(p_cam[:, 0] * rz, -lim_x, lim_x)
     ty = z * jnp.clip(p_cam[:, 1] * rz, -lim_y, lim_y)
 
-    zero = jnp.zeros_like(z)
-    J = jnp.stack(
-        (
-            fx * rz, zero, -fx * tx * rz * rz,
-            zero, fy * rz, -fy * ty * rz * rz,
-        ),
-        axis=-1,
-    ).reshape(-1, 2, 3)
-    cov2d = J @ cov_cam @ jnp.swapaxes(J, -1, -2)  # [N, 2, 2]
-
-    a = cov2d[:, 0, 0]
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1]
+    u = fx * rz
+    v = fy * rz
+    pu = -fx * tx * rz * rz
+    pv = -fy * ty * rz * rz
+    a = u * u * sig(0, 0) + 2 * u * pu * sig(0, 2) + pu * pu * sig(2, 2)
+    b = (
+        u * v * sig(0, 1) + u * pv * sig(0, 2)
+        + pu * v * sig(1, 2) + pu * pv * sig(2, 2)
+    )
+    c = v * v * sig(1, 1) + 2 * v * pv * sig(1, 2) + pv * pv * sig(2, 2)
     det_orig = a * c - b * b
     a_b = a + LOWPASS
     c_b = c + LOWPASS

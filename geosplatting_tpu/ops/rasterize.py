@@ -230,6 +230,7 @@ def rasterize(
     means2d_offset: jnp.ndarray | None = None,
     tile_chunk: int = 8,
     backend: str = "auto",
+    chunk_size: int = 128,
     lim_override: tuple | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Render one camera. Returns (render [H,W,C(+1)], alpha [H,W,1], info).
@@ -258,34 +259,54 @@ def rasterize(
         )
 
     max_pairs = max(int(pairs_per_gaussian) * n, 1 << 12)
-    bins = bin_gaussians(
-        proj, width, height,
-        tile_size=tile_size, max_pairs=max_pairs, tile_capacity=tile_capacity,
-        near=near, far=far,
-    )
-    tw, th = bins.num_tiles_xy
-    ty, tx = jnp.meshgrid(jnp.arange(th), jnp.arange(tw), indexing="ij")
-    tile_origin = jnp.stack(
-        (tx.reshape(-1) * tile_size, ty.reshape(-1) * tile_size), axis=-1
-    ).astype(jnp.float32)
 
     if render_mode in ("ED", "RGB+ED", "D", "RGB+D"):
         pass
     elif render_mode != "RGB":
         raise ValueError(f"unknown render_mode: {render_mode}")
 
-    if backend == "pallas":
-        from .rasterize_pallas import composite_tiles_pallas as _composite
-        tiles_c, tiles_a, tiles_d = _composite(
-            bins.tile_gid, tile_origin, proj.means2d, proj.conics,
-            proj.opacities, colors, proj.depths, tile_size=tile_size,
+    tw = -(-width // tile_size)
+    th = -(-height // tile_size)
+    if backend == "auto":
+        # compiled pair kernels on accelerators; vectorized XLA reference on
+        # CPU (interpret-mode pallas is a python loop — tests opt in explicitly)
+        backend = "pairs" if jax.default_backend() != "cpu" else "reference"
+    if backend in ("pallas", "pairs"):
+        # pair-centric chunked kernels (work scales with actual pairs; no
+        # per-tile capacity truncation) — the default production path
+        from .rasterize_pairs import bin_pairs, composite_pairs_pallas
+        pbins = bin_pairs(
+            proj, width, height, tile_size=tile_size, max_pairs=max_pairs,
+            chunk_size=chunk_size, near=near, far=far,
         )
-    else:
-        tiles_c, tiles_a, tiles_d = composite_tiles_reference(
-            bins.tile_gid, tile_origin, proj.means2d, proj.conics,
+        tiles_c, tiles_a, tiles_d = composite_pairs_pallas(
+            pbins, tile_size, chunk_size, (tw, th), proj.means2d, proj.conics,
             proj.opacities, colors, proj.depths,
-            tile_size=tile_size, tile_chunk=tile_chunk,
         )
+        total_pairs = pbins.total_pairs
+    else:
+        bins = bin_gaussians(
+            proj, width, height,
+            tile_size=tile_size, max_pairs=max_pairs,
+            tile_capacity=tile_capacity, near=near, far=far,
+        )
+        total_pairs = bins.total_pairs
+        ty, tx = jnp.meshgrid(jnp.arange(th), jnp.arange(tw), indexing="ij")
+        tile_origin = jnp.stack(
+            (tx.reshape(-1) * tile_size, ty.reshape(-1) * tile_size), axis=-1
+        ).astype(jnp.float32)
+        if backend == "pallas_dense":
+            from .rasterize_pallas import composite_tiles_pallas as _composite
+            tiles_c, tiles_a, tiles_d = _composite(
+                bins.tile_gid, tile_origin, proj.means2d, proj.conics,
+                proj.opacities, colors, proj.depths, tile_size=tile_size,
+            )
+        else:
+            tiles_c, tiles_a, tiles_d = composite_tiles_reference(
+                bins.tile_gid, tile_origin, proj.means2d, proj.conics,
+                proj.opacities, colors, proj.depths,
+                tile_size=tile_size, tile_chunk=tile_chunk,
+            )
 
     img_c = _tiles_to_image(tiles_c, tw, th, tile_size, height, width)
     img_a = _tiles_to_image(tiles_a[..., None], tw, th, tile_size, height, width)
@@ -303,7 +324,7 @@ def rasterize(
         "means2d": proj.means2d,
         "radii": proj.radii,
         "depths": proj.depths,
-        "total_pairs": bins.total_pairs,
+        "total_pairs": total_pairs,
         "max_pairs": max_pairs,
     }
     return render, img_a, info

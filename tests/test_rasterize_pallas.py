@@ -34,7 +34,8 @@ def cam():
 
 
 @pytest.mark.parametrize("channels", [3, 14])
-def test_pallas_forward_matches_reference(channels):
+@pytest.mark.parametrize("pallas_backend", ["pairs", "pallas_dense"])
+def test_pallas_forward_matches_reference(channels, pallas_backend):
     viewmat, K = cam()
     means, quats, scales, opacities, colors = scene(jax.random.key(0),
                                                     channels=channels)
@@ -42,12 +43,18 @@ def test_pallas_forward_matches_reference(channels):
     r_ref, a_ref, _ = rasterize(means, quats, scales, opacities, colors,
                                 viewmat, K, WIDTH, HEIGHT, backend="reference", **kw)
     r_pal, a_pal, _ = rasterize(means, quats, scales, opacities, colors,
-                                viewmat, K, WIDTH, HEIGHT, backend="pallas", **kw)
-    np.testing.assert_allclose(np.asarray(r_pal), np.asarray(r_ref), atol=3e-5)
-    np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_ref), atol=3e-5)
+                                viewmat, K, WIDTH, HEIGHT,
+                                backend=pallas_backend, **kw)
+    # the chunked-carry pairs backend reassociates the transmittance prefix
+    # sum, so a weight sitting exactly at the T=1e-4 cutoff can flip in/out:
+    # isolated pixels may differ by ~cutoff * color
+    atol = 1e-3 if pallas_backend == "pairs" else 3e-5
+    np.testing.assert_allclose(np.asarray(r_pal), np.asarray(r_ref), atol=atol)
+    np.testing.assert_allclose(np.asarray(a_pal), np.asarray(a_ref), atol=atol)
 
 
-def test_pallas_gradients_match_reference():
+@pytest.mark.parametrize("pallas_backend", ["pairs", "pallas_dense"])
+def test_pallas_gradients_match_reference(pallas_backend):
     viewmat, K = cam()
     means, quats, scales, opacities, colors = scene(jax.random.key(1), n=120)
     tgt = jax.random.uniform(jax.random.key(2), (HEIGHT, WIDTH, 3))
@@ -61,11 +68,13 @@ def test_pallas_gradients_match_reference():
 
     args = (means, scales, opacities, colors, jnp.zeros((120, 2)))
     g_ref = jax.grad(lambda *a: loss("reference", *a), argnums=(0, 1, 2, 3, 4))(*args)
-    g_pal = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2, 3, 4))(*args)
+    g_pal = jax.grad(lambda *a: loss(pallas_backend, *a),
+                     argnums=(0, 1, 2, 3, 4))(*args)
     names = ["means", "scales", "opacities", "colors", "means2d_offset"]
     for name, gr, gp in zip(names, g_ref, g_pal):
+        atol = 2e-3 if pallas_backend == "pairs" else 2e-4
         np.testing.assert_allclose(
-            np.asarray(gp), np.asarray(gr), atol=2e-4, rtol=2e-3,
+            np.asarray(gp), np.asarray(gr), atol=atol, rtol=2e-3,
             err_msg=f"grad mismatch: {name}",
         )
 
