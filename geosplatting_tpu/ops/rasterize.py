@@ -84,7 +84,9 @@ def bin_gaussians(
     starts = offsets - ntiles
 
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
-    gid = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32)
+    gid = jnp.searchsorted(
+        offsets, slot, side="right", method="sort"
+    ).astype(jnp.int32)
     gid = jnp.minimum(gid, ntiles.shape[0] - 1)
     local = slot - starts[gid]
     w_g = jnp.maximum(bw[gid], 1)
@@ -123,8 +125,8 @@ def bin_gaussians(
         )
 
     tile_range = jnp.arange(num_tiles, dtype=jnp.int32)
-    seg_start = jnp.searchsorted(sorted_tile, tile_range, side="left")
-    seg_end = jnp.searchsorted(sorted_tile, tile_range, side="right")
+    seg_start = jnp.searchsorted(sorted_tile, tile_range, side="left", method="sort")
+    seg_end = jnp.searchsorted(sorted_tile, tile_range, side="right", method="sort")
     counts = seg_end - seg_start
 
     k = jnp.arange(tile_capacity, dtype=jnp.int32)
