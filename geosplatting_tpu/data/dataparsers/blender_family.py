@@ -34,9 +34,24 @@ class ParsedSplit:
     mask_paths: list | None = None
     alpha_color: tuple | None = None
     meta: Any = None
+    # optional per-camera intrinsics (LLFF/IDR/colmap-style layouts); when
+    # set they override the single focal/centered-principal-point default
+    fx: np.ndarray | None = None
+    fy: np.ndarray | None = None
+    cx: np.ndarray | None = None
+    cy: np.ndarray | None = None
+    # synthetic parsers render their images at parse time instead of loading
+    images: np.ndarray | None = None
 
     def load_images(self, scale_factor: float | None = None) -> np.ndarray:
         """[N, H, W, 4] rgba float32 (LDR values as stored, i.e. sRGB)."""
+        if self.images is not None:
+            img = self.images
+            if img.shape[-1] == 3:
+                img = np.concatenate(
+                    (img, np.ones_like(img[..., :1])), axis=-1
+                )
+            return img
         out = []
         for i, p in enumerate(self.image_paths):
             mask = self.mask_paths[i] if self.mask_paths else None

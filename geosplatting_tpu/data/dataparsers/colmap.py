@@ -153,3 +153,60 @@ class ColmapDataparser:
             (path / sub / "cameras.bin").exists()
             for sub in ("sparse/0", "sparse", "colmap/sparse/0")
         )
+
+
+@dataclasses.dataclass(frozen=True)
+class DPKUDataparser(ColmapDataparser):
+    """DPKU capture layout (dpku_dataparser.py:51-97): a COLMAP sparse model
+    plus database.db; images are undistorted into <path>/dense/ before the
+    plain colmap parse. If the dense model is missing, the ``colmap``
+    binary is invoked when available (image_undistorter), otherwise the
+    distorted sparse model is parsed directly with a warning."""
+
+    max_image_size: int = 1280
+
+    def parse(self, path: Path, split: str) -> ParsedSplit:
+        dense = path / "dense"
+        if ColmapDataparser.recognize(dense):
+            return super().parse(dense, split)
+        import shutil as _shutil
+
+        if _shutil.which("colmap") is not None:
+            import subprocess
+            import tempfile
+
+            dense.mkdir(parents=True, exist_ok=True)
+            with tempfile.TemporaryDirectory() as td:
+                subprocess.run(
+                    [
+                        "colmap", "image_undistorter",
+                        "--image_path", str(path / "images"),
+                        "--input_path", str(path / "sparse" / "0"),
+                        "--output_path", td,
+                        "--max_image_size", str(self.max_image_size),
+                    ],
+                    check=True, capture_output=True,
+                )
+                (dense / "sparse").mkdir(exist_ok=True)
+                (dense / "images").mkdir(exist_ok=True)
+                _shutil.move(str(Path(td) / "sparse"), str(dense / "sparse" / "0"))
+                for p in (Path(td) / "images").glob("**/*.jpg"):
+                    _shutil.move(str(p), str(dense / "images" / p.name))
+            return super().parse(dense, split)
+        import warnings
+
+        warnings.warn(
+            "DPKU: no dense model and no colmap binary; parsing the "
+            "distorted sparse model directly"
+        )
+        return super().parse(path, split)
+
+    @staticmethod
+    def recognize(path: Path) -> bool:
+        return all(
+            (path / p).exists()
+            for p in (
+                "sparse/0/cameras.bin", "sparse/0/images.bin",
+                "sparse/0/points3D.bin", "database.db",
+            )
+        )

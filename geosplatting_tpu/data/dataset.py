@@ -26,13 +26,41 @@ from .dataparsers.blender_family import (
     Syn4RelightDataparser,
     TensoIRDataparser,
 )
+from .dataparsers.colmap import ColmapDataparser, DPKUDataparser
+from .dataparsers.real_captures import (
+    IDRDataparser,
+    LLFFDataparser,
+    MaskedIDRDataparser,
+    MaskedLLFFDataparser,
+    RFMaskedRealDataparser,
+    StanfordORBDataparser,
+)
+from .dataparsers.synthetic_meshes import (
+    MeshDRDataparser,
+    MeshPBRDataparser,
+    MeshViewSynthesisDataparser,
+    ShapeNetDataparser,
+)
 
 # recognition order mirrors the reference's registry specificity
+# (rfstudio/data/dataparser/__init__.py:18-39): most specific first
 DATAPARSERS = (
     Syn4RelightDataparser,
     TensoIRDataparser,
+    StanfordORBDataparser,
     BlenderDataparser,
     ShinyBlenderDataparser,
+    MaskedIDRDataparser,
+    IDRDataparser,
+    MaskedLLFFDataparser,
+    LLFFDataparser,
+    RFMaskedRealDataparser,
+    DPKUDataparser,
+    ColmapDataparser,
+    MeshPBRDataparser,
+    MeshViewSynthesisDataparser,
+    MeshDRDataparser,
+    ShapeNetDataparser,
 )
 
 
@@ -64,12 +92,16 @@ class Dataset:
             w = int(parsed.width * sf)
             h = int(parsed.height * sf)
             n = parsed.c2w.shape[0]
+            fx = parsed.fx if parsed.fx is not None else np.full((n,), parsed.focal)
+            fy = parsed.fy if parsed.fy is not None else np.full((n,), parsed.focal)
+            cx = parsed.cx if parsed.cx is not None else np.full((n,), parsed.width / 2.0)
+            cy = parsed.cy if parsed.cy is not None else np.full((n,), parsed.height / 2.0)
             cams = Cameras(
                 c2w=jnp.asarray(parsed.c2w),
-                fx=jnp.full((n,), parsed.focal * sf),
-                fy=jnp.full((n,), parsed.focal * sf),
-                cx=jnp.full((n,), w / 2.0),
-                cy=jnp.full((n,), h / 2.0),
+                fx=jnp.asarray(fx * sf),
+                fy=jnp.asarray(fy * sf),
+                cx=jnp.asarray(cx * sf),
+                cy=jnp.asarray(cy * sf),
                 width=w,
                 height=h,
                 near=parsed.near,

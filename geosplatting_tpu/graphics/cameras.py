@@ -104,6 +104,17 @@ class Cameras(TensorClass):
         eye = center + radius * d
         return cls.from_lookat(eye, jnp.broadcast_to(center, eye.shape), **kwargs)
 
+    @classmethod
+    def from_sphere(
+        cls, key: jax.Array, *, center: jnp.ndarray, radius: float, num_samples: int, **kwargs
+    ) -> "Cameras":
+        """Uniform full-sphere view sampling (Cameras.from_sphere,
+        _cameras.py constructors family)."""
+        d = gmath.sample_sphere(key, (num_samples,))
+        center = jnp.asarray(center, jnp.float32)
+        eye = center + radius * d
+        return cls.from_lookat(eye, jnp.broadcast_to(center, eye.shape), **kwargs)
+
     # ---- matrices -----------------------------------------------------------
     @property
     def intrinsic_matrix(self) -> jnp.ndarray:
