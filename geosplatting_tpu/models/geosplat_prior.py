@@ -8,9 +8,10 @@ Laplacian / normal-consistency / edge-length / offset regularizers
 z-up -> y-up conversion (:95-96). Used for unbounded scenes (GOF-extracted
 meshes) and object scans.
 
-Visibility note: the reference traces an OptiX BVH over the prior mesh; our
-SDF sphere tracer has no SDF here, so shadowing defaults off
-(shadow_scale=0) until the planned BVH-free mesh visibility lands.
+Visibility note: the reference traces an OptiX BVH over the prior mesh;
+here shadows come from occupancy-grid transmittance marching over the live
+mesh (ops/sdf_visibility.make_mesh_visibility) — the BVH-free analog of
+the reference's per-step optix_build_bvh + shadow rays.
 """
 from __future__ import annotations
 
@@ -28,6 +29,7 @@ from ..graphics.mesh import (
 )
 from ..ops import envshade as es
 from ..ops.denoise import bilateral_denoise
+from ..ops.sdf_visibility import make_mesh_visibility
 from ..ops.rasterize import rasterize
 from .geosplat import (
     GaussianField, MGAdapter, RenderableAttrs, get_gaussians_from_face,
@@ -51,7 +53,8 @@ class GeoSplatterPrior:
     scale: float = 1.0
     field: GaussianField = GaussianField(occ_enc=OCC_ENC)
     num_samples_x: int = 8
-    shadow_scale: float = 0.0
+    shadow_scale: float = 0.95
+    visibility_resolution: int = 64
     denoise: bool = True
     tile_capacity: int = 1024
     pairs_per_gaussian: int = 6
@@ -144,6 +147,16 @@ class GeoSplatterPrior:
         exposure = jnp.exp(params["exposure"][0])
         mc_positions = splats.means + offsets
 
+        vis_fn = None
+        if self.shadow_scale > 0:
+            # BVH-free mesh shadows: occupancy-grid transmittance marching
+            # (replaces kernel.cu shadow_test for mesh-only scenes)
+            k_shade, k_vox = jax.random.split(k_shade)
+            vis_fn = make_mesh_visibility(
+                mesh, k_vox, resolution=self.visibility_resolution,
+                scale=self.scale * 1.05,
+            )
+
         @jax.checkpoint
         def render_one(args):
             cam, sk = args
@@ -159,7 +172,7 @@ class GeoSplatterPrior:
             diff, spec, resi = es.env_shade(
                 sk, mc_positions, frag_n, camera_pos, attrs.kd, arm, light,
                 num_samples_x=self.num_samples_x,
-                visibility_fn=None,
+                visibility_fn=vis_fn,
                 shadow_scale=self.shadow_scale,
             )
             diff = jnp.maximum(diff, 1e-4)

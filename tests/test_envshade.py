@@ -127,3 +127,30 @@ def test_bilateral_denoise_smooths_noise_preserves_edges():
     # edge preserved: column w/2-1 stays near 0, w/2 stays near 1
     assert float(out[:, w // 2 - 1].mean()) < 0.15
     assert float(out[:, w // 2].mean()) > 0.85
+
+
+def test_mesh_visibility_occludes():
+    """Occupancy-grid mesh visibility: rays crossing a dense cube shell are
+    attenuated, rays escaping outward are not."""
+    import jax
+    import jax.numpy as jnp
+
+    from geosplatting_tpu.graphics.mesh import TriangleMesh
+    from geosplatting_tpu.ops.sdf_visibility import make_mesh_visibility
+
+    v = jnp.array(
+        [[x, y, z] for x in (-0.4, 0.4) for y in (-0.4, 0.4) for z in (-0.4, 0.4)],
+        jnp.float32,
+    )
+    f = jnp.array(
+        [[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5], [0, 4, 5], [0, 5, 1],
+         [2, 3, 7], [2, 7, 6], [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]],
+        jnp.int32,
+    )
+    mesh = TriangleMesh(vertices=v, indices=f)
+    vis = make_mesh_visibility(mesh, jax.random.key(0), resolution=48, scale=1.0)
+    origins = jnp.array([[0.9, 0.0, 0.0], [0.9, 0.0, 0.0]])
+    dirs = jnp.array([[-1.0, 0.0, 0.0], [1.0, 0.0, 0.0]])
+    out = vis(origins, dirs)
+    assert float(out[0]) < 0.2, f"ray through cube not shadowed: {out}"
+    assert float(out[1]) > 0.9, f"escaping ray shadowed: {out}"
