@@ -74,3 +74,58 @@ def resize_image(img: np.ndarray, scale_factor: float) -> np.ndarray:
     if out.ndim == 2:
         out = out[..., None]
     return out
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def open_video_renderer(path, fps: int = 24):
+    """Context manager yielding ``put(frame[H, W, 3] float)`` — the analog of
+    the reference's ffmpegcv writer (``rfstudio/io/_video.py:19-77``).
+
+    Backend by suffix: ``.gif`` via PIL; ``.mp4``/``.webm`` via imageio when
+    an ffmpeg plugin is importable, else falls back to a PNG sequence in a
+    sibling directory (zero-egress images lack ffmpeg); a directory path (or
+    no suffix) always writes a PNG sequence ``frame_%05d.png``."""
+    from pathlib import Path as _Path
+
+    path = _Path(path)
+    frames: list = []
+
+    def put(frame) -> None:
+        frame = np.asarray(frame)
+        frames.append(
+            (np.clip(frame[..., :3], 0, 1) * 255).astype(np.uint8)
+        )
+
+    yield put
+
+    if not frames:
+        return
+    suffix = path.suffix.lower()
+    if suffix == ".gif":
+        ims = [Image.fromarray(f) for f in frames]
+        path.parent.mkdir(parents=True, exist_ok=True)
+        ims[0].save(
+            path, save_all=True, append_images=ims[1:],
+            duration=int(1000 / fps), loop=0,
+        )
+        return
+    if suffix in (".mp4", ".webm", ".mkv", ".avi"):
+        try:
+            import imageio.v3 as iio
+
+            path.parent.mkdir(parents=True, exist_ok=True)
+            iio.imwrite(path, np.stack(frames), fps=fps)
+            return
+        except Exception:
+            import warnings
+
+            path = path.with_suffix("")
+            warnings.warn(
+                f"no video encoder available; writing PNG sequence to {path}/"
+            )
+    path.mkdir(parents=True, exist_ok=True)
+    for i, f in enumerate(frames):
+        Image.fromarray(f).save(path / f"frame_{i:05d}.png")
