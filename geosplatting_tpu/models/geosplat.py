@@ -214,6 +214,23 @@ class RenderableAttrs(NamedTuple):
     ks_jitter: jnp.ndarray | None = None
 
 
+def compact_faces(mesh: TriangleMesh, max_faces: int) -> TriangleMesh:
+    """Gather valid faces into a tighter static budget. The TPU analog of the
+    reference's gaussian memory tiers (geosplat.py:687-703): the DMC face
+    buffer is worst-case sized, but everything downstream (field evals,
+    rasterization) should scale with a configurable cap, not the worst case.
+    Overflow drops faces beyond the cap (observable: count valid vs cap)."""
+    f = mesh.num_faces
+    if max_faces >= f:
+        return mesh
+    mask = mesh.face_mask_or_ones()
+    idx = jnp.nonzero(mask, size=max_faces, fill_value=f)[0]
+    indices = jnp.concatenate(
+        [mesh.indices, jnp.zeros((1, 3), mesh.indices.dtype)]
+    )[idx]
+    return mesh.replace(indices=indices, face_mask=idx < f)
+
+
 def get_gaussians_from_face(
     field: GaussianField,
     field_params: dict,
@@ -224,16 +241,30 @@ def get_gaussians_from_face(
     kd_perturb_std: float = 0.0,
     ks_perturb_std: float = 0.0,
     key: jax.Array | None = None,
+    max_faces: int | None = None,
+    eval_chunk: int | None = 262144,
 ) -> tuple[Splats, RenderableAttrs, jnp.ndarray, jnp.ndarray]:
     """(splats, attrs, offsets, valid): geosplat.py:622-674."""
+    if max_faces is not None:
+        mesh = compact_faces(mesh, max_faces)
     splats, offsets, valid = MGAdapter().make(mesh)
     means = jnp.clip(splats.means / scale, -1, 1)
 
-    # gradient-checkpointed encodings: hashgrid gather residuals dominate
-    # memory at large gaussian counts (the reference's use_checkpoint tier,
-    # geosplat.py:697-703); recomputing them in the backward is cheap
+    # gradient-checkpointed + chunked encodings: hashgrid gather residuals
+    # dominate memory at large gaussian counts (the reference's
+    # use_checkpoint tier + batchify, geosplat.py:697-703); the sequential
+    # lax.map bounds backward peak memory to one chunk of corner buffers
     def ckpt(enc, p, x):
-        return jax.checkpoint(lambda pp, xx: enc.apply(pp, xx))(p, x)
+        n = x.shape[0]
+        inner = jax.checkpoint(lambda pp, xx: enc.apply(pp, xx))
+        if eval_chunk is None or n <= eval_chunk:
+            return inner(p, x)
+        pad = (-n) % eval_chunk
+        xp = jnp.concatenate([x, jnp.zeros((pad, x.shape[-1]), x.dtype)])
+        out = jax.lax.map(
+            lambda xx: inner(p, xx), xp.reshape(-1, eval_chunk, x.shape[-1])
+        )
+        return out.reshape(n + pad, -1)[:n]
 
     zs = jax.nn.sigmoid(
         ckpt(field.z_enc, field_params["z_enc"], jax.lax.stop_gradient(means))
@@ -445,9 +476,15 @@ class GeoSplatter:
     surf_cube_budget: float = 8.0
     surf_edge_budget: float = 8.0
     tile_capacity: int = 1024
-    pairs_per_gaussian: int = 6
+    # memory tiers (the reference's geosplat.py:687-703 analog): cap the
+    # faces that reach field-eval/rasterization, chunk the field evals, and
+    # budget screen pairs tightly (mesh-anchored gaussians are small)
+    max_render_faces: int = 1 << 18
+    field_eval_chunk: int = 262144
+    pairs_per_gaussian: int = 3
     tile_chunk: int = 8
     env_num_samples: int = 64
+    prefilter_method: str = "conv"   # 'conv' (fast, training) | 'sampled'
     backend: str = "auto"
 
     def make_grid(self) -> fc.FlexiCubesGrid:
@@ -498,7 +535,8 @@ class GeoSplatter:
         white = cubemap.mean(-1, keepdims=True)
         white_balance_reg = jnp.abs(cubemap - white).mean()
         base, mips = cm.prefilter_splitsum(
-            cubemap, num_samples=self.env_num_samples
+            cubemap, num_samples=self.env_num_samples,
+            method=self.prefilter_method,
         )
         return base, mips, white_balance_reg
 
@@ -546,6 +584,8 @@ class GeoSplatter:
                 kd_perturb_std=kd_perturb_std if use_jitter else 0.0,
                 ks_perturb_std=ks_perturb_std if use_jitter else 0.0,
                 key=k_field,
+                max_faces=self.max_render_faces,
+                eval_chunk=self.field_eval_chunk,
             )
         elif sampling == "vertex":
             splats, attrs, valid = get_gaussians_from_vertex(

@@ -66,7 +66,9 @@ class GeoSplatterMC:
     surf_cube_budget: float = 8.0
     surf_edge_budget: float = 8.0
     tile_capacity: int = 1024
-    pairs_per_gaussian: int = 6
+    max_render_faces: int = 1 << 18
+    field_eval_chunk: int = 262144
+    pairs_per_gaussian: int = 3
     tile_chunk: int = 8
     num_samples_x: int = 8
     shadow_scale: float = 1.0
@@ -148,6 +150,8 @@ class GeoSplatterMC:
             kd_perturb_std=kd_perturb_std if use_jitter else 0.0,
             ks_perturb_std=ks_perturb_std if use_jitter else 0.0,
             key=k_field,
+            max_faces=self.max_render_faces,
+            eval_chunk=self.field_eval_chunk,
         )
         if attrs.kd_jitter is not None:
             reg = reg + w["kd_grad"] * jnp.abs(attrs.kd_jitter - attrs.kd).mean()
@@ -252,6 +256,8 @@ class GeoSplatterMC:
         splats, attrs, offsets, valid = get_gaussians_from_face(
             self.field, params["field"], mesh,
             scale=self.scale, initial_guess=self.initial_guess_bias(),
+            max_faces=self.max_render_faces,
+            eval_chunk=self.field_eval_chunk,
         )
         return {
             "geom_scale": self.scale,

@@ -57,6 +57,8 @@ class GeoSplatterPrior:
     visibility_resolution: int = 64
     denoise: bool = True
     tile_capacity: int = 1024
+    max_render_faces: int | None = None  # prior meshes are real, not padded
+    field_eval_chunk: int = 262144
     pairs_per_gaussian: int = 6
     tile_chunk: int = 8
     backend: str = "auto"
@@ -124,6 +126,8 @@ class GeoSplatterPrior:
                 kd_perturb_std=kd_perturb_std,
                 ks_perturb_std=ks_perturb_std,
                 key=k_field,
+                max_faces=self.max_render_faces,
+                eval_chunk=self.field_eval_chunk,
             )
         else:
             splats, offsets, valid = MGAdapter().make(mesh)

@@ -249,6 +249,68 @@ def specular_prefilter(
     return acc / jnp.sum(w_j)
 
 
+def _upsample2x(data: jnp.ndarray) -> jnp.ndarray:
+    """2x bilinear upsample per cube face: [6, R, R, C] -> [6, 2R, 2R, C]."""
+    f, r, _, c = data.shape
+    out = jax.image.resize(data, (f, 2 * r, 2 * r, c), method="bilinear")
+    return out
+
+
+def _face_blur(data: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable per-face Gaussian blur with edge-replicate padding."""
+    if sigma <= 0.05:
+        return data
+    radius = min(int(np.ceil(3.0 * sigma)), data.shape[1] - 1)
+    x = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k = jnp.asarray(k / k.sum(), data.dtype)
+    pad_h = [(0, 0), (radius, radius), (0, 0), (0, 0)]
+    out = jnp.moveaxis(
+        _conv1d_last(jnp.moveaxis(jnp.pad(data, pad_h, mode="edge"), 1, -1), k),
+        -1, 1,
+    )
+    pad_w = [(0, 0), (0, 0), (radius, radius), (0, 0)]
+    out = jnp.moveaxis(
+        _conv1d_last(jnp.moveaxis(jnp.pad(out, pad_w, mode="edge"), 2, -1), k),
+        -1, 2,
+    )
+    return out
+
+
+def _conv1d_last(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Valid 1-D convolution along the last axis (kernel pre-flipped ok:
+    symmetric)."""
+    n = k.shape[0]
+    out = x[..., : x.shape[-1] - n + 1] * k[0]
+    for i in range(1, n):
+        out = out + x[..., i: x.shape[-1] - n + 1 + i] * k[i]
+    return out
+
+
+def specular_prefilter_conv(
+    chain: list[jnp.ndarray], roughness: float
+) -> jnp.ndarray:
+    """Fast GGX prefilter approximation for the training loop: blur at the
+    mip whose texel pitch matches the lobe, then upsample to chain[0]'s
+    resolution. Dense VPU work only — the sampled path's per-step gather
+    volume (~10^7 indices at 512^2) dominated the stage-1 step on TPU, and
+    stage 1 uses split-sum shading only as the geometry warm-up stage, so a
+    Gaussian lobe approximation is an acceptable trade (eval/export keep
+    ``specular_prefilter``)."""
+    res = chain[0].shape[1]
+    alpha = max(float(roughness), 1e-3)
+    # lobe half-width in texels at resolution R: ~ 2 * alpha * R / pi
+    sigma_at = lambda r: 2.0 * alpha * r / np.pi  # noqa: E731
+    level = 0
+    while level < len(chain) - 1 and sigma_at(chain[level].shape[1]) > 3.0:
+        level += 1
+    src = chain[level]
+    out = _face_blur(src, sigma_at(src.shape[1]))
+    while out.shape[1] < res:
+        out = _upsample2x(out)
+    return out
+
+
 def prefilter_splitsum(
     cube: jnp.ndarray,
     *,
@@ -256,20 +318,25 @@ def prefilter_splitsum(
     min_roughness: float = 0.08,
     max_roughness: float = 0.5,
     num_samples: int = 64,
+    method: str = "sampled",
 ) -> tuple[jnp.ndarray, list[jnp.ndarray]]:
     """Full split-sum prefilter (TextureCubeMap.as_splitsum, _texture.py:530-557):
     returns (diffuse base [6, r, r, 3] at min resolution, specular mip list
-    from full res down to min res with the reference's roughness schedule)."""
+    from full res down to min res with the reference's roughness schedule).
+    ``method='conv'`` uses the fast blur approximation (training loop)."""
     chain = build_mip_chain(cube, min_resolution)
     n = len(chain)
     base = diffuse_prefilter(chain[-1])
     mips = []
+    spec = (
+        (lambda ch, r: specular_prefilter_conv(ch, r))
+        if method == "conv"
+        else (lambda ch, r: specular_prefilter(ch, r, num_samples=num_samples))
+    )
     for idx in range(n - 1):
         rough = idx / max(n - 2, 1) * (max_roughness - min_roughness) + min_roughness
-        mips.append(
-            specular_prefilter(chain[idx:], rough, num_samples=num_samples)
-        )
-    mips.append(specular_prefilter(chain[-1:], 1.0, num_samples=num_samples))
+        mips.append(spec(chain[idx:], rough))
+    mips.append(spec(chain[-1:], 1.0))
     return base, mips
 
 

@@ -78,21 +78,30 @@ def hashgrid_encode(
         s = config.grad_scaling
         x = x / s + jax.lax.stop_gradient(x) * (1 - 1 / s)
 
+    # All heavy intermediates live in [..., L*F] layout: thin trailing dims
+    # ([..., L, F] with L=16, F=2) make XLA pick lane-padded layouts that
+    # blow memory up 8-64x on TPU; reshaping each corner gather to the
+    # flattened feature axis immediately keeps every live array at the
+    # output width (measured: the [N, L, {2,3}] form OOMed stage-1 at 72 GB)
     pos = x[..., None, :] * 0.5 + 0.5                              # [..., 1, 3]
     scaled = pos * jnp.asarray(config.scalings, x.dtype)[:, None]  # [..., L, 3]
     f = jnp.floor(scaled)
-    offset = scaled - f
     fi = f.astype(jnp.int32)
     ci = jnp.ceil(scaled).astype(jnp.int32)
+    fdim = config.features_per_level
 
     lvl_off = (
         jnp.arange(config.num_levels, dtype=jnp.int32) * config.table_size
     )
 
+    def rep(w):  # [..., L] interp weight -> [..., L*F]
+        return jnp.repeat(w, fdim, axis=-1, total_repeat_length=config.output_dim)
+
     def corner(cx, cy, cz):
         coords = jnp.stack((cx, cy, cz), axis=-1)
         idx = _hash(coords, config.table_size) + lvl_off
-        return table[idx]  # [..., L, F]
+        g = table[idx]                                 # [..., L, F]
+        return g.reshape(g.shape[:-2] + (config.output_dim,))
 
     f000 = corner(fi[..., 0], fi[..., 1], fi[..., 2])
     f100 = corner(ci[..., 0], fi[..., 1], fi[..., 2])
@@ -103,17 +112,17 @@ def hashgrid_encode(
     f011 = corner(fi[..., 0], ci[..., 1], ci[..., 2])
     f111 = corner(ci[..., 0], ci[..., 1], ci[..., 2])
 
-    ox = offset[..., 0:1]
-    oy = offset[..., 1:2]
-    oz = offset[..., 2:3]
+    offset = scaled - f
+    ox = rep(offset[..., 0])
+    oy = rep(offset[..., 1])
+    oz = rep(offset[..., 2])
     fx0 = f000 * (1 - ox) + f100 * ox
     fx1 = f010 * (1 - ox) + f110 * ox
     fx2 = f001 * (1 - ox) + f101 * ox
     fx3 = f011 * (1 - ox) + f111 * ox
     fy0 = fx0 * (1 - oy) + fx1 * oy
     fy1 = fx2 * (1 - oy) + fx3 * oy
-    out = fy0 * (1 - oz) + fy1 * oz                                # [..., L, F]
-    out = out.reshape(out.shape[:-2] + (config.output_dim,))
+    out = fy0 * (1 - oz) + fy1 * oz                                # [..., L*F]
 
     if config.grad_scaling is not None:
         s = config.grad_scaling

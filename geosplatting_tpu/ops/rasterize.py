@@ -276,13 +276,16 @@ def rasterize(
     if backend in ("pallas", "pairs"):
         # pair-centric chunked kernels (work scales with actual pairs; no
         # per-tile capacity truncation) — the default production path
-        from .rasterize_pairs import bin_pairs, composite_pairs_pallas
+        from .rasterize_pairs import (
+            bin_pairs, composite_pairs_pallas, pick_chunk_size,
+        )
+        kc = pick_chunk_size(max_pairs, tw * th, chunk_size)
         pbins = bin_pairs(
             proj, width, height, tile_size=tile_size, max_pairs=max_pairs,
-            chunk_size=chunk_size, near=near, far=far,
+            chunk_size=kc, near=near, far=far,
         )
         tiles_c, tiles_a, tiles_d = composite_pairs_pallas(
-            pbins, tile_size, chunk_size, (tw, th), proj.means2d, proj.conics,
+            pbins, tile_size, kc, (tw, th), proj.means2d, proj.conics,
             proj.opacities, colors, proj.depths,
         )
         total_pairs = pbins.total_pairs

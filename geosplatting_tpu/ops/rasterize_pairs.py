@@ -61,18 +61,33 @@ class PairBins(NamedTuple):
     sorted_gid: jnp.ndarray       # [max_pairs] gaussian id per sorted pair (N = invalid)
     pair_gid: jnp.ndarray         # [max_pairs] gaussian id in generation order (N = invalid)
     padslot_of_pair: jnp.ndarray  # [max_pairs] backward-grad row for each generated pair
-    chunk_tile: jnp.ndarray      # [CB] tile id (num_tiles = dummy)
-    chunk_window: jnp.ndarray    # [CB] aligned KC-row window index into sorted pairs
-    chunk_woff: jnp.ndarray      # [CB] row offset of chunk start within window
-    chunk_count: jnp.ndarray     # [CB] live pairs in chunk
-    chunk_first: jnp.ndarray     # [CB] 1 = first chunk of its tile
-    chunk_last: jnp.ndarray      # [CB] 1 = last chunk of its tile
+    # chunk metadata rides scalar-prefetch SMEM (~1 MB total on v5e), so six
+    # [CB] arrays are bit-packed into two:
+    #   meta_a = ((count*2 + last)*2 + first) * 2^17 + tile   (tile < 2^17)
+    #   meta_b = window * 2^11 + woff                         (woff < 2^11)
+    meta_a: jnp.ndarray          # [CB] int32
+    meta_b: jnp.ndarray          # [CB] int32
     tile_counts: jnp.ndarray     # [T] pairs per tile
     total_pairs: jnp.ndarray     # [] true pair count (overflow check)
 
 
+_TILE_PACK = 1 << 17      # meta_a tile field width
+_WOFF_PACK = 1 << 11      # meta_b woff field width (so chunk_size <= 2048)
+_MAX_CHUNK_BUDGET = 24576  # keeps 2 x [CB] int32 prefetch arrays in SMEM
+
+
 def chunk_budget(max_pairs: int, num_tiles: int, chunk_size: int) -> int:
     return max_pairs // chunk_size + num_tiles + 1
+
+
+def pick_chunk_size(max_pairs: int, num_tiles: int, chunk_size: int) -> int:
+    """Grow the chunk size until the chunk budget fits the SMEM prefetch
+    limit (large scenes want big chunks anyway — per-tile pair counts scale
+    with max_pairs/num_tiles)."""
+    kc = chunk_size
+    while chunk_budget(max_pairs, num_tiles, kc) > _MAX_CHUNK_BUDGET and kc < _WOFF_PACK:
+        kc *= 2
+    return kc
 
 
 def bin_pairs(
@@ -180,6 +195,11 @@ def bin_pairs(
     last = (is_active & (j == nchunks_c - 1)).astype(jnp.int32)
     window = jnp.where(is_active, src_start // kc, 0).astype(jnp.int32)
     woff = jnp.where(is_active, src_start - window * kc, 0).astype(jnp.int32)
+    if num_tiles + 1 > _TILE_PACK:
+        raise ValueError(f"too many tiles for packed chunk meta: {num_tiles}")
+    assert kc <= _WOFF_PACK, f"chunk_size {kc} exceeds meta packing width"
+    meta_a = ((cnt.astype(jnp.int32) * 2 + last) * 2 + first) * _TILE_PACK + ctile
+    meta_b = window * _WOFF_PACK + woff
 
     # backward-grad slot for each sorted pair, then invert to generation order
     sb = jnp.stack((seg_start[:-1], chunk_base), axis=-1)
@@ -196,12 +216,8 @@ def bin_pairs(
         sorted_gid=sorted_gid,
         pair_gid=pair_gid,
         padslot_of_pair=padslot_of_pair,
-        chunk_tile=ctile,
-        chunk_window=window,
-        chunk_woff=woff,
-        chunk_count=cnt.astype(jnp.int32),
-        chunk_first=first,
-        chunk_last=last,
+        meta_a=meta_a,
+        meta_b=meta_b,
         tile_counts=counts,
         total_pairs=total,
     )
@@ -251,15 +267,14 @@ def _slice_window(lo_ref, hi_ref, buf_ref, woff, kc):
 
 
 def _fwd_kernel(
-    tile_r, win_r, woff_r, cnt_r, first_r, last_r,   # scalar prefetch
+    a_r, b_r,                                        # scalar prefetch (packed)
     lo_ref, hi_ref, out_ref, logt_ref, buf_ref, carry_ref,
     *, tile_size, kc, tw, c,
 ):
     i = pl.program_id(0)
-    tile = tile_r[i]
-    cnt = cnt_r[i]
+    tile, first, last, cnt = _unpack_a(a_r[i])
 
-    @pl.when(first_r[i] == 1)
+    @pl.when(first == 1)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
         carry_ref[...] = jnp.zeros_like(carry_ref)
@@ -268,7 +283,7 @@ def _fwd_kernel(
 
     @pl.when((cnt > 0) & jnp.logical_not(saturated))
     def _():
-        p = _slice_window(lo_ref, hi_ref, buf_ref, woff_r[i], kc)
+        p = _slice_window(lo_ref, hi_ref, buf_ref, b_r[i] % _WOFF_PACK, kc)
         sigma, alpha_raw, keep, _, _ = _chunk_pieces(p, cnt, tile, tile_size, tw)
         alpha = jnp.where(keep, alpha_raw, 0.0)
         log1m = jnp.log1p(-alpha)
@@ -284,22 +299,21 @@ def _fwd_kernel(
         )
         carry_ref[...] = carry_ref[...] + prefix[kc - 1:kc, :]
 
-    @pl.when(last_r[i] == 1)
+    @pl.when(last == 1)
     def _():
         logt_ref[0] = carry_ref[...]
 
 
 def _bwd_kernel(
-    tile_r, win_r, woff_r, cnt_r, first_r, last_r,   # scalar prefetch (reversed maps)
+    a_r, b_r,                       # scalar prefetch (packed, reversed maps)
     lo_ref, hi_ref, g_ref, logt_ref, d_ref, buf_ref, suf_log_ref, suf_ws_ref,
     *, tile_size, kc, tw, c, cb,
 ):
     i = pl.program_id(0)
     rc = cb - 1 - i
-    tile = tile_r[rc]
-    cnt = cnt_r[rc]
+    tile, first, last, cnt = _unpack_a(a_r[rc])
 
-    @pl.when(last_r[rc] == 1)
+    @pl.when(last == 1)
     def _():
         suf_log_ref[...] = jnp.zeros_like(suf_log_ref)
         suf_ws_ref[...] = jnp.zeros_like(suf_ws_ref)
@@ -308,7 +322,7 @@ def _bwd_kernel(
 
     @pl.when(cnt > 0)
     def _():
-        p = _slice_window(lo_ref, hi_ref, buf_ref, woff_r[rc], kc)
+        p = _slice_window(lo_ref, hi_ref, buf_ref, b_r[rc] % _WOFF_PACK, kc)
         sigma, alpha_raw, keep, dx, dy = _chunk_pieces(p, cnt, tile, tile_size, tw)
         alpha = jnp.where(keep, alpha_raw, 0.0)
         log1m = jnp.log1p(-alpha)
@@ -374,10 +388,17 @@ def _pack_pairs(bins: PairBins, means2d, conics, opacities, colors, depths, kc):
 
 
 def _scalar_args(bins: PairBins):
-    return (
-        bins.chunk_tile, bins.chunk_window, bins.chunk_woff,
-        bins.chunk_count, bins.chunk_first, bins.chunk_last,
-    )
+    return (bins.meta_a, bins.meta_b)
+
+
+def _unpack_a(a):
+    tile = a % _TILE_PACK
+    rest = a // _TILE_PACK
+    first = rest % 2
+    rest = rest // 2
+    last = rest % 2
+    cnt = rest // 2
+    return tile, first, last, cnt
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
@@ -400,27 +421,29 @@ def _composite_fwd_impl(
 ):
     tw, th = num_tiles_xy
     num_tiles = tw * th
-    cb = bins.chunk_tile.shape[0]
+    cb = bins.meta_a.shape[0]
     c = colors.shape[-1]
     p_sz = tile_size * tile_size
     pw = _HDR + c
     pairs = _pack_pairs(bins, means2d, conics, opacities, colors, depths, kc)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=2,
         grid=(cb,),
         in_specs=[
-            pl.BlockSpec((kc, pw), lambda i, t, wn, wo, cn, fr, ls: (wn[i], 0),
+            pl.BlockSpec((kc, pw),
+                         lambda i, ma, mb: (mb[i] // _WOFF_PACK, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, pw), lambda i, t, wn, wo, cn, fr, ls: (wn[i] + 1, 0),
+            pl.BlockSpec((kc, pw),
+                         lambda i, ma, mb: (mb[i] // _WOFF_PACK + 1, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, c + 2, p_sz),
-                         lambda i, t, wn, wo, cn, fr, ls: (t[i], 0, 0),
+                         lambda i, ma, mb: (ma[i] % _TILE_PACK, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, p_sz),
-                         lambda i, t, wn, wo, cn, fr, ls: (t[i], 0, 0),
+                         lambda i, ma, mb: (ma[i] % _TILE_PACK, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
@@ -469,7 +492,7 @@ def _composite_bwd(tile_size, kc, num_tiles_xy, res, cts):
     g_c, g_a, g_d = cts
     tw, th = num_tiles_xy
     num_tiles = tw * th
-    cb = bins.chunk_tile.shape[0]
+    cb = bins.meta_a.shape[0]
     n, c = colors.shape
     p_sz = tile_size * tile_size
     pw = _HDR + c
@@ -488,24 +511,24 @@ def _composite_bwd(tile_size, kc, num_tiles_xy, res, cts):
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=2,
         grid=(cb,),
         in_specs=[
             pl.BlockSpec((kc, pw),
-                         lambda i, t, wn, wo, cn, fr, ls: (wn[cb - 1 - i], 0),
+                         lambda i, ma, mb: (mb[cb - 1 - i] // _WOFF_PACK, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kc, pw),
-                         lambda i, t, wn, wo, cn, fr, ls: (wn[cb - 1 - i] + 1, 0),
+                         lambda i, ma, mb: (mb[cb - 1 - i] // _WOFF_PACK + 1, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c + 2, p_sz),
-                         lambda i, t, wn, wo, cn, fr, ls: (t[cb - 1 - i], 0, 0),
+                         lambda i, ma, mb: (ma[cb - 1 - i] % _TILE_PACK, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, p_sz),
-                         lambda i, t, wn, wo, cn, fr, ls: (t[cb - 1 - i], 0, 0),
+                         lambda i, ma, mb: (ma[cb - 1 - i] % _TILE_PACK, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, kc, pw), lambda i, t, wn, wo, cn, fr, ls: (cb - 1 - i, 0, 0),
+            (1, kc, pw), lambda i, ma, mb: (cb - 1 - i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[

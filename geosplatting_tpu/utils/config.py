@@ -106,14 +106,52 @@ def _apply_overrides(obj, overrides: dict[str, Any]):
 def run_task_group(tasks: dict[str, Any], argv: list[str] | None = None) -> Any:
     """The TaskGroup CLI (engine/task.py:170-194): each named preset becomes
     a subcommand whose dataclass fields are ``--dotted.path`` flags. Returns
-    the configured task after calling its ``run()``."""
+    the configured task after calling its ``run()``.
+
+    Task-runtime flags (engine/task.py:104-241 parity):
+    ``--profiling PATH`` dumps cProfile pstats; ``--trace DIR`` captures a
+    jax.profiler trace (the TPU-native analog of the reference's cProfile
+    option, SURVEY §5); ``--auto-breakpoint`` drops into pdb post-mortem on
+    crash (task.py:224-237)."""
     argv = sys.argv[1:] if argv is None else argv
     parser = argparse.ArgumentParser()
+    parser.add_argument("--profiling", type=str, default=None)
+    parser.add_argument("--trace", type=str, default=None)
+    parser.add_argument("--auto-breakpoint", action="store_true")
     subs = parser.add_subparsers(dest="command", required=True)
     for name, task in tasks.items():
         sp = subs.add_parser(name)
         _add_dataclass_args(sp, type(task))
     args = vars(parser.parse_args(argv))
     command = args.pop("command")
+    profiling = args.pop("profiling")
+    trace = args.pop("trace")
+    auto_bp = args.pop("auto_breakpoint")
     task = _apply_overrides(tasks[command], args)
-    return task.run()
+
+    def _run():
+        if trace is not None:
+            import jax
+
+            with jax.profiler.trace(trace):
+                return task.run()
+        return task.run()
+
+    try:
+        if profiling is not None:
+            import cProfile
+
+            prof = cProfile.Profile()
+            try:
+                return prof.runcall(_run)
+            finally:
+                prof.dump_stats(profiling)
+        return _run()
+    except Exception:
+        if auto_bp:
+            import pdb
+            import traceback
+
+            traceback.print_exc()
+            pdb.post_mortem()
+        raise

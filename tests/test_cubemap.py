@@ -120,3 +120,27 @@ def test_prefilter_is_differentiable():
     g = jax.grad(loss)(cube)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_conv_prefilter_approximates_sampled():
+    """The fast blur prefilter tracks the GGX-sampled path within a loose
+    tolerance (it backs the training loop only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from geosplatting_tpu.ops import cubemap as cm
+
+    key = jax.random.key(0)
+    cube = jax.random.uniform(key, (6, 64, 64, 3), minval=0.1, maxval=1.5)
+    # smooth the input a bit so the comparison isn't dominated by noise
+    cube = cm.downsample(cube)
+    cube = jnp.repeat(jnp.repeat(cube, 2, axis=1), 2, axis=2)
+    b1, m1 = cm.prefilter_splitsum(cube, num_samples=64, method="sampled")
+    b2, m2 = cm.prefilter_splitsum(cube, method="conv")
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-5)
+    assert len(m1) == len(m2)
+    for a, b in zip(m1, m2):
+        assert a.shape == b.shape
+        rel = float(jnp.mean(jnp.abs(a - b)) / (jnp.mean(jnp.abs(a)) + 1e-8))
+        assert rel < 0.25, rel
