@@ -25,7 +25,9 @@ from ..ops.hashgrid import HashGridConfig
 from ..ops.mesh_raster import rasterize_mesh, interpolate
 from ..ops.rasterize import rasterize
 from ..ops.sdf_visibility import make_sdf_visibility
-from .geosplat import HashEncoding, tone_aces, tone_naive
+from .geosplat import (
+    HashEncoding, apply_ks_bundle, tone_aces, tone_naive,
+)
 from .mlp import MLPConfig
 
 KS_ENC = HashEncoding(
@@ -120,12 +122,14 @@ class GeoSplatterDefer:
         enc_in = jnp.clip(means / self.scale, -1, 1)
         ig = geometry["initial_guess"]
         ks = jax.nn.sigmoid(
-            self.ks_enc.apply(params["ks_enc"], enc_in) + ig
+            apply_ks_bundle(params["ks_enc"], enc_in, self.ks_enc) + ig
         )
         jit_in = jnp.clip(
             (means + jax.random.normal(k1, means.shape) * 0.01) / self.scale, -1, 1
         )
-        ks_jitter = jax.nn.sigmoid(self.ks_enc.apply(params["ks_enc"], jit_in) + ig)
+        ks_jitter = jax.nn.sigmoid(
+            apply_ks_bundle(params["ks_enc"], jit_in, self.ks_enc) + ig
+        )
         reg = jnp.abs(ks - ks_jitter).mean() * ks_weight
 
         kd = params["kd"]
@@ -236,7 +240,8 @@ class GeoSplatterDefer:
     def gaussian_ks(self, params: dict, geometry: dict) -> jnp.ndarray:
         enc_in = jnp.clip(params["means"] / self.scale, -1, 1)
         return jax.nn.sigmoid(
-            self.ks_enc.apply(params["ks_enc"], enc_in) + geometry["initial_guess"]
+            apply_ks_bundle(params["ks_enc"], enc_in, self.ks_enc)
+            + geometry["initial_guess"]
         )
 
     def render_attribute(

@@ -29,8 +29,8 @@ from ..ops.hashgrid import HashGridConfig
 from ..ops.rasterize import rasterize
 from ..ops.sdf_visibility import make_sdf_visibility
 from .geosplat import (
-    GaussianField, GeoSplatter, HashEncoding, get_gaussians_from_face,
-    tone_aces, tone_naive,
+    GaussianField, GeoSplatter, HashEncoding, SharedField,
+    export_ks_bundle, get_gaussians_from_face, tone_aces, tone_naive,
 )
 from .mlp import MLPConfig
 
@@ -62,7 +62,7 @@ class GeoSplatterMC:
     max_metallic: float = 1.0
     initial_guess: str = "hybrid"
     smooth_type: str = "jitter"
-    field: GaussianField = GaussianField(occ_enc=OCC_ENC)
+    field: Any = SharedField(with_occ=True)
     surf_cube_budget: float = 8.0
     surf_edge_budget: float = 8.0
     tile_capacity: int = 1024
@@ -85,7 +85,14 @@ class GeoSplatterMC:
     # --- init from stage-1 export (geosplat_mc.py:56-73) ----------------------
     def init_from_stage1(self, export: dict, key: jax.Array) -> dict[str, Any]:
         field_params = self.field.init(key)
-        field_params["ks_enc"] = export["ks_enc"]
+        bundle = export["ks_enc"]
+        if "planes" in bundle and "planes" in field_params:
+            # shared-field hand-off: trunk + ks head carry the stage-1
+            # roughness predictor (geosplat_mc.py:56-73 ks transfer)
+            field_params["planes"] = jnp.asarray(bundle["planes"])
+            field_params["ks"] = jax.tree.map(jnp.asarray, bundle["ks"])
+        elif "ks_enc" in field_params:
+            field_params["ks_enc"] = bundle
         return {
             "sdf": jnp.asarray(export["sdf"]),
             "deform": jnp.asarray(export["deform"]),
@@ -274,8 +281,13 @@ class GeoSplatterMC:
             "kd": attrs.kd,
             "ks": attrs.ks,
             "occ": attrs.occ,
-            "ks_enc": params["field"]["ks_enc"],
-            "occ_enc": params["field"]["occ_enc"],
+            "ks_enc": export_ks_bundle(self.field, params["field"]),
+            "occ_enc": (
+                params["field"]["occ_enc"]
+                if "occ_enc" in params["field"] else
+                {"planes": params["field"]["planes"],
+                 "occ": params["field"]["occ"]}
+            ),
             "mc_positions": splats.means + offsets,
             "mc_vertices": mesh.vertices,
             "mc_indices": mesh.indices,
@@ -299,6 +311,6 @@ def export_stage1(model: GeoSplatter, params: dict) -> dict:
         "deform": params["deform"],
         "weights": params["weights"],
         "sdf": params["sdf"],
-        "ks_enc": params["field"]["ks_enc"],
+        "ks_enc": export_ks_bundle(model.field, params["field"]),
         "initial_guess": model.initial_guess_bias(),
     }

@@ -32,8 +32,8 @@ from ..ops.denoise import bilateral_denoise
 from ..ops.sdf_visibility import make_mesh_visibility
 from ..ops.rasterize import rasterize
 from .geosplat import (
-    GaussianField, MGAdapter, RenderableAttrs, get_gaussians_from_face,
-    tone_aces, tone_naive,
+    GaussianField, MGAdapter, RenderableAttrs, SharedField,
+    export_ks_bundle, get_gaussians_from_face, tone_aces, tone_naive,
 )
 from .geosplat_mc import OCC_ENC
 
@@ -51,7 +51,7 @@ class GeoSplatterPrior:
     min_roughness: float = 0.1
     max_metallic: float = 1.0
     scale: float = 1.0
-    field: GaussianField = GaussianField(occ_enc=OCC_ENC)
+    field: Any = SharedField(with_occ=True)
     num_samples_x: int = 8
     shadow_scale: float = 0.95
     visibility_resolution: int = 64
@@ -237,7 +237,7 @@ class GeoSplatterPrior:
             "kd": attrs.kd,
             "ks": attrs.ks,
             "occ": attrs.occ,
-            "ks_enc": params["field"]["ks_enc"],
+            "ks_enc": export_ks_bundle(self.field, params["field"]),
             "mc_positions": splats.means + offsets,
             "mc_vertices": mesh.vertices,
             "mc_indices": mesh.indices,

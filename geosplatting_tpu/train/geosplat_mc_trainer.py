@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from ..graphics import images as gimages
 from ..graphics.cameras import Cameras
+from ..models.geosplat import field_from_groups, field_to_groups
 from ..models.geosplat_mc import GeoSplatterMC
 from ..ops.ssim import ssim_l1_loss
 from .grad_utils import sanitize
@@ -59,7 +60,7 @@ class GeoSplatMCTrainer:
             lr=c.geometry_lr, eps=c.base_eps, lr_decay=c.base_decay,
             warm_up=c.geometry_warm_up,
         )
-        self.optimizers = GroupOptimizers({
+        specs = {
             "deform": geo(),
             "weights": geo(),
             "sdf": geo(),
@@ -69,34 +70,33 @@ class GeoSplatMCTrainer:
             "z": OptimizerSpec(lr=c.cov3d_lr, eps=c.base_eps, lr_decay=c.base_decay),
             "exposure": OptimizerSpec(lr=c.light_lr * 0.5, eps=c.base_eps, lr_decay=c.base_decay),
             "light": OptimizerSpec(lr=c.light_lr, eps=c.base_eps, lr_decay=c.base_decay),
-        })
+        }
+        for extra in field_to_groups(model.field.init(jax.random.key(0))):
+            if extra not in specs:
+                specs[extra] = OptimizerSpec(
+                    lr=c.appearance_lr, eps=c.base_eps, lr_decay=c.base_decay
+                )
+        self.optimizers = GroupOptimizers(specs)
 
     def _groups(self, params: dict) -> dict:
-        return {
+        g = {
             "deform": params["deform"],
             "weights": params["weights"],
             "sdf": params["sdf"],
-            "kd": params["field"]["kd_enc"],
-            "occ": params["field"]["occ_enc"],
-            "ks": params["field"]["ks_enc"],
-            "z": params["field"]["z_enc"],
             "exposure": params["exposure"],
             "light": params["latlng"],
         }
+        g.update(field_to_groups(params["field"]))
+        return g
 
-    def _ungroups(self, g: dict) -> dict:
+    def _ungroups(self, g: dict, template: dict) -> dict:
         return {
             "deform": g["deform"],
             "weights": g["weights"],
             "sdf": g["sdf"],
             "exposure": g["exposure"],
             "latlng": g["light"],
-            "field": {
-                "kd_enc": g["kd"],
-                "occ_enc": g["occ"],
-                "ks_enc": g["ks"],
-                "z_enc": g["z"],
-            },
+            "field": field_from_groups(g, template["field"]),
         }
 
     def init_state(self, params: dict) -> dict[str, Any]:
@@ -146,7 +146,7 @@ class GeoSplatMCTrainer:
         new_groups, new_opt = self.optimizers.update(
             g, state["opt_state"], self._groups(state["params"])
         )
-        new_params = self._ungroups(new_groups)
+        new_params = self._ungroups(new_groups, state["params"])
         new_params["latlng"] = jnp.maximum(new_params["latlng"], 1e-3)
         metrics = {
             "nonfinite_grads": nonfinite_grads,

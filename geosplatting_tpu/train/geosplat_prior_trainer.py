@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from ..graphics import images as gimages
 from ..graphics.cameras import Cameras
 from ..graphics.mesh import TriangleMesh
+from ..models.geosplat import field_from_groups, field_to_groups
 from ..models.geosplat_prior import GeoSplatterPrior
 from ..ops.ssim import ssim_l1_loss
 from .grad_utils import sanitize
@@ -44,7 +45,7 @@ class GeoSplatPriorTrainer:
         self.model = model
         c = config
         mk = lambda lr: OptimizerSpec(lr=lr, eps=c.base_eps, lr_decay=c.base_decay)  # noqa: E731
-        self.optimizers = GroupOptimizers({
+        specs = {
             "deform": mk(c.geometry_lr),
             "kd": mk(c.appearance_lr),
             "occ": mk(c.appearance_lr),
@@ -52,27 +53,26 @@ class GeoSplatPriorTrainer:
             "z": mk(c.cov3d_lr),
             "exposure": mk(c.light_lr * 0.5),
             "light": mk(c.light_lr),
-        })
+        }
+        for extra in field_to_groups(model.field.init(jax.random.key(0))):
+            if extra not in specs:
+                specs[extra] = mk(c.appearance_lr)
+        self.optimizers = GroupOptimizers(specs)
 
     def _groups(self, p: dict) -> dict:
-        return {
+        g = {
             "deform": p["deform"],
-            "kd": p["field"]["kd_enc"],
-            "occ": p["field"]["occ_enc"],
-            "ks": p["field"]["ks_enc"],
-            "z": p["field"]["z_enc"],
             "exposure": p["exposure"],
             "light": p["latlng"],
         }
+        g.update(field_to_groups(p["field"]))
+        return g
 
     def _ungroups(self, g: dict, p: dict) -> dict:
         out = dict(p)
         out.update({
             "deform": g["deform"], "exposure": g["exposure"], "latlng": g["light"],
-            "field": {
-                "kd_enc": g["kd"], "occ_enc": g["occ"],
-                "ks_enc": g["ks"], "z_enc": g["z"],
-            },
+            "field": field_from_groups(g, p["field"]),
         })
         return out
 

@@ -21,7 +21,9 @@ import jax.numpy as jnp
 
 from ..graphics import images as gimages
 from ..graphics.cameras import Cameras
-from ..models.geosplat import GeoSplatter
+from ..models.geosplat import (
+    GeoSplatter, field_from_groups, field_to_groups,
+)
 from ..ops.ssim import ssim_l1_loss
 from .grad_utils import sanitize
 from .optim import GroupOptimizers, OptimizerSpec
@@ -82,7 +84,7 @@ class GeoSplatTrainer:
         if model.initial_guess == "specular":
             self.reg_overrides = {"kd_grad_begin": 0.5, "ks_grad_begin": 0.1}
         mk = lambda lr: OptimizerSpec(lr=lr, eps=c.base_eps, lr_decay=c.base_decay)  # noqa: E731
-        self.optimizers = GroupOptimizers({
+        specs = {
             "deform": mk(geometry_lr),
             "sdf": mk(geometry_lr),
             "weights": mk(geometry_lr),
@@ -91,33 +93,32 @@ class GeoSplatTrainer:
             "z": mk(c.cov3d_lr),
             "exposure": mk(light_lr * 0.5),
             "light": mk(light_lr),
-        })
+        }
+        for extra in field_to_groups(model.field.init(jax.random.key(0))):
+            if extra not in specs:
+                specs[extra] = mk(c.appearance_lr)  # shared trunk planes / occ
+        self.optimizers = GroupOptimizers(specs)
 
     # param pytree <-> optimizer groups
     def _groups(self, params: dict) -> dict:
-        return {
+        g = {
             "deform": params["deform"],
             "sdf": params["sdf"],
             "weights": params["weights"],
-            "kd": params["field"]["kd_enc"],
-            "ks": params["field"]["ks_enc"],
-            "z": params["field"]["z_enc"],
             "exposure": params["exposure"],
             "light": params["cubemap"],
         }
+        g.update(field_to_groups(params["field"]))
+        return g
 
-    def _ungroups(self, groups: dict) -> dict:
+    def _ungroups(self, groups: dict, template: dict) -> dict:
         return {
             "deform": groups["deform"],
             "sdf": groups["sdf"],
             "weights": groups["weights"],
             "exposure": groups["exposure"],
             "cubemap": groups["light"],
-            "field": {
-                "kd_enc": groups["kd"],
-                "ks_enc": groups["ks"],
-                "z_enc": groups["z"],
-            },
+            "field": field_from_groups(groups, template["field"]),
         }
 
     def init_state(self, params: dict) -> dict[str, Any]:
@@ -186,7 +187,7 @@ class GeoSplatTrainer:
         new_groups, new_opt = self.optimizers.update(
             g, state["opt_state"], self._groups(state["params"])
         )
-        new_params = self._ungroups(new_groups)
+        new_params = self._ungroups(new_groups, state["params"])
         # envmap clamp (geosplat_trainer.py:266)
         new_params["cubemap"] = jnp.maximum(new_params["cubemap"], 1e-2)
         metrics = {
