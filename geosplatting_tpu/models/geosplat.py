@@ -586,6 +586,7 @@ def shade_splitsum(
     pairs_per_gaussian: int = 6,
     tile_chunk: int = 8,
     backend: str = "auto",
+    env_quality: str = "fast",   # 'fast' (nearest env + analytic FG) | 'exact'
 ) -> jnp.ndarray:
     """RenderableAttrs.splat (geosplat.py:53-132): per-Gaussian split-sum GGX
     radiance, antialiased rasterization, tone mapping. Returns [H, W, 4]."""
@@ -602,10 +603,17 @@ def shade_splitsum(
     diffuse = attrs.kd * (1.0 - metallic)
 
     n_dot_v = jnp.clip(jnp.sum(attrs.normals * wo, -1, keepdims=True), 1e-6, None)
-    fg = cm.sample_fg_lut(n_dot_v, roughness)  # [N, 2]
+    fast = env_quality == "fast"
+    fg = (
+        cm.fg_analytic(n_dot_v, roughness) if fast
+        else cm.sample_fg_lut(n_dot_v, roughness)
+    )  # [N, 2]
     inv_wi = 2.0 * jnp.sum(wo * attrs.normals, -1, keepdims=True) * attrs.normals - wo
     l_diff, l_spec = cm.sample_splitsum(
-        env_base, env_mips, attrs.normals, inv_wi, roughness
+        env_base, env_mips, attrs.normals, inv_wi, roughness,
+        with_diffuse=(mode == "diffuse") or not fast,
+        filter_mode="nearest" if fast else "bilinear",
+        mip_filter="nearest" if fast else "trilinear",
     )
     reflectance = specular * fg[:, 0:1] + fg[:, 1:2]
     if mode == "pbr":
@@ -679,6 +687,7 @@ class GeoSplatter:
     tile_chunk: int = 8
     env_num_samples: int = 64
     prefilter_method: str = "conv"   # 'conv' (fast, training) | 'sampled'
+    env_quality: str = "fast"        # 'fast' (training) | 'exact'
     backend: str = "auto"
 
     def make_grid(self) -> fc.FlexiCubesGrid:
@@ -821,6 +830,7 @@ class GeoSplatter:
                 pairs_per_gaussian=self.pairs_per_gaussian,
                 tile_chunk=self.tile_chunk,
                 backend=self.backend,
+                env_quality=self.env_quality,
             )
 
         rgba = jax.lax.map(render_one, cameras)

@@ -349,9 +349,16 @@ def sample_splitsum(
     *,
     min_roughness: float = 0.08,
     max_roughness: float = 0.5,
+    with_diffuse: bool = True,
+    filter_mode: str = "bilinear",   # 'bilinear' | 'nearest'
+    mip_filter: str = "trilinear",   # 'trilinear' | 'nearest'
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(l_diffuse, l_specular): the TextureSplitSum.sample contract
-    (_texture.py:571-614) with trilinear roughness->miplevel interpolation."""
+    (_texture.py:571-614) with trilinear roughness->miplevel interpolation.
+    ``with_diffuse=False`` skips the diffuse lookup (the pbr splat mode never
+    consumes it); the 'nearest' filters trade seam-level accuracy for 4-8x
+    fewer gathered (and backward-scattered) rows on the per-gaussian
+    training path."""
     n = len(mips)
     miplevel = jnp.where(
         roughness < max_roughness,
@@ -362,21 +369,58 @@ def sample_splitsum(
         + n - 2,
     )[..., 0]  # [...] in [0, n-1]
 
-    l_diff = sample_cubemap(base, normals)
+    l_diff = sample_cubemap(base, normals) if with_diffuse else None
 
-    lvl0 = jnp.clip(jnp.floor(miplevel).astype(jnp.int32), 0, n - 1)
-    frac = (miplevel - lvl0)[..., None]
-    samples = jnp.stack([sample_cubemap(m, directions) for m in mips], axis=0)
-    # gather the two adjacent levels per element
-    flat = samples.reshape(n, -1, samples.shape[-1])
-    idx = lvl0.reshape(-1)
-    s0 = flat[lvl0.reshape(-1), jnp.arange(idx.shape[0])].reshape(
-        miplevel.shape + (samples.shape[-1],)
-    )
-    s1 = flat[jnp.minimum(lvl0 + 1, n - 1).reshape(-1), jnp.arange(idx.shape[0])].reshape(
-        miplevel.shape + (samples.shape[-1],)
-    )
-    l_spec = s0 * (1 - frac) + s1 * frac
+    # mip ATLAS sampling: the naive form gathers every mip for every element
+    # (n x 4 corner gathers) and materializes [n, N, C]; flattening the mip
+    # pyramid into one array lets each element gather only its own level(s)
+    face, u, v = dir_to_cube_uv(gmath.safe_normalize(directions))
+    atlas = jnp.concatenate([m.reshape(-1, m.shape[-1]) for m in mips])
+    res_np = np.asarray([m.shape[1] for m in mips], np.int32)
+    offs_np = np.concatenate(
+        [[0], np.cumsum(6 * res_np.astype(np.int64) ** 2)[:-1]]
+    ).astype(np.int32)
+    res_t = jnp.asarray(res_np)
+    offs_t = jnp.asarray(offs_np)
+
+    def at_level(lvl):
+        r = res_t[lvl]                                  # [...] int32
+        off = offs_t[lvl]
+        rf = r.astype(jnp.float32)
+        fu = (u * 0.5 + 0.5) * rf - 0.5
+        fv = (v * 0.5 + 0.5) * rf - 0.5
+
+        def texel(x, y):
+            return atlas[off + (face * r + y) * r + x]
+
+        if filter_mode == "nearest":
+            x0 = jnp.clip(jnp.round(fu).astype(jnp.int32), 0, r - 1)
+            y0 = jnp.clip(jnp.round(fv).astype(jnp.int32), 0, r - 1)
+            return texel(x0, y0)
+        x0 = jnp.clip(jnp.floor(fu).astype(jnp.int32), 0, r - 1)
+        y0 = jnp.clip(jnp.floor(fv).astype(jnp.int32), 0, r - 1)
+        x1 = jnp.minimum(x0 + 1, r - 1)
+        y1 = jnp.minimum(y0 + 1, r - 1)
+        wx = jnp.clip(fu - x0, 0.0, 1.0)[..., None]
+        wy = jnp.clip(fv - y0, 0.0, 1.0)[..., None]
+        return (
+            texel(x0, y0) * (1 - wx) * (1 - wy)
+            + texel(x1, y0) * wx * (1 - wy)
+            + texel(x0, y1) * (1 - wx) * wy
+            + texel(x1, y1) * wx * wy
+        )
+
+    if mip_filter == "trilinear":
+        lvl0 = jnp.clip(jnp.floor(miplevel).astype(jnp.int32), 0, n - 1)
+        frac = (miplevel - lvl0)[..., None]
+        l_spec = (
+            at_level(lvl0) * (1 - frac)
+            + at_level(jnp.minimum(lvl0 + 1, n - 1)) * frac
+        )
+    else:
+        l_spec = at_level(
+            jnp.clip(jnp.round(miplevel).astype(jnp.int32), 0, n - 1)
+        )
     return l_diff, l_spec
 
 
@@ -427,6 +471,24 @@ def fg_lut(resolution: int = 256, num_samples: int = 1024) -> tuple:
         bias += fc * g_vis
     lut = np.stack((scale, bias), -1) / num_samples
     return (lut.astype(np.float32),)
+
+
+def fg_analytic(n_dot_v: jnp.ndarray, roughness: jnp.ndarray) -> jnp.ndarray:
+    """Karis' analytic environment-BRDF approximation (gather-free stand-in
+    for the FG LUT on the per-gaussian training path): inputs [..., 1] each
+    -> [..., 2] (scale, bias)."""
+    x = jnp.clip(n_dot_v, 0.0, 1.0)
+    r = jnp.clip(roughness, 0.0, 1.0)
+    c0 = jnp.array([-1.0, -0.0275, -0.572, 0.022])
+    c1 = jnp.array([1.0, 0.0425, 1.04, -0.04])
+    t = r * c0 + c1                                     # [..., 4]
+    a004 = (
+        jnp.minimum(t[..., 0:1] * t[..., 0:1], jnp.exp2(-9.28 * x))
+        * t[..., 0:1] + t[..., 1:2]
+    )
+    return jnp.concatenate(
+        (a004 * -1.04 + t[..., 2:3], a004 * 1.04 + t[..., 3:4]), axis=-1
+    )
 
 
 def sample_fg_lut(n_dot_v: jnp.ndarray, roughness: jnp.ndarray, resolution: int = 256) -> jnp.ndarray:
