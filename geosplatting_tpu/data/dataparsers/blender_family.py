@@ -42,11 +42,24 @@ class ParsedSplit:
     cy: np.ndarray | None = None
     # synthetic parsers render their images at parse time instead of loading
     images: np.ndarray | None = None
+    # parser-level resize applied on top of the dataset's scale_factor (IDR/
+    # ORB store full-res files but half/0.4-res intrinsics)
+    image_scale: float | None = None
+
+    def _total_scale(self, scale_factor: float | None) -> float | None:
+        a = self.image_scale
+        b = scale_factor
+        if a is None and b is None:
+            return None
+        return (a or 1.0) * (b or 1.0)
 
     def load_images(self, scale_factor: float | None = None) -> np.ndarray:
         """[N, H, W, 4] rgba float32 (LDR values as stored, i.e. sRGB)."""
+        total = self._total_scale(scale_factor)
         if self.images is not None:
             img = self.images
+            if total is not None:
+                img = np.stack([resize_image(im, total) for im in img])
             if img.shape[-1] == 3:
                 img = np.concatenate(
                     (img, np.ones_like(img[..., :1])), axis=-1
@@ -56,8 +69,8 @@ class ParsedSplit:
         for i, p in enumerate(self.image_paths):
             mask = self.mask_paths[i] if self.mask_paths else None
             img = load_masked_image(p, mask)
-            if scale_factor is not None:
-                img = resize_image(img, scale_factor)
+            if total is not None:
+                img = resize_image(img, total)
             if self.alpha_color is not None and img.shape[-1] == 4:
                 a = img[..., 3:]
                 rgb = img[..., :3] * a + np.asarray(self.alpha_color) * (1 - a)

@@ -190,8 +190,10 @@ class DPKUDataparser(ColmapDataparser):
                 (dense / "sparse").mkdir(exist_ok=True)
                 (dense / "images").mkdir(exist_ok=True)
                 _shutil.move(str(Path(td) / "sparse"), str(dense / "sparse" / "0"))
-                for p in (Path(td) / "images").glob("**/*.jpg"):
-                    _shutil.move(str(p), str(dense / "images" / p.name))
+                exts = ("*.jpg", "*.JPG", "*.jpeg", "*.png", "*.PNG")
+                for pat in exts:
+                    for p in (Path(td) / "images").glob(f"**/{pat}"):
+                        _shutil.move(str(p), str(dense / "images" / p.name))
             return super().parse(dense, split)
         import warnings
 

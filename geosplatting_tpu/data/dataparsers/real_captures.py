@@ -63,6 +63,9 @@ class LLFFDataparser:
         h, w = load_float32_image(files[0]).shape[:2]
 
         c2w[:, :, 3] -= c2w[:, :, 3].mean(0)
+        # signed max (not abs) matches the reference exactly
+        # (llff_dataparser.py:73); asymmetric captures can exceed the box,
+        # as they do upstream
         rescale = 1.1 / c2w[:, :, 3].max()
         c2w[:, :, 3] *= rescale
 
@@ -166,7 +169,7 @@ class IDRDataparser:
             near=1e-2, far=1e2,
             image_paths=files,
             mask_paths=mask_paths,
-            meta={"image_scale": sf},
+            image_scale=sf,
         )
 
     @staticmethod
@@ -202,7 +205,7 @@ class StanfordORBDataparser:
         with open(path / f"transforms_{split}.json") as f:
             meta = json.load(f)
         frames = meta["frames"]
-        wh = 2048
+        wh = int(2048 * self.scale_factor)
         c2w = np.array(
             [f["transform_matrix"] for f in frames], np.float32
         )[:, :3, :]
@@ -221,6 +224,7 @@ class StanfordORBDataparser:
                 path / (f["file_path"].replace(split, split + "_mask") + ".png")
                 for f in frames
             ],
+            image_scale=self.scale_factor,
             meta={"gt_mesh": gt_mesh, "mesh_scale": 2 / 3},
         )
 

@@ -300,6 +300,14 @@ def evaluate_field(field, field_params: dict, x: jnp.ndarray) -> dict:
     }
 
 
+def field_group_names(field) -> tuple:
+    """Optimizer group names for a field WITHOUT materializing its params
+    (trainer __init__ only needs the names)."""
+    if isinstance(field, SharedField):
+        return ("kd", "ks", "z", "planes") + (("occ",) if field.with_occ else ())
+    return ("kd", "ks", "z") + (("occ",) if field.occ_enc is not None else ())
+
+
 def field_to_groups(field_params: dict) -> dict:
     """Field params -> optimizer groups (kd/ks/z[/occ][/planes]) for either
     field layout — keeps the reference's per-attribute LR structure
@@ -411,7 +419,8 @@ def get_gaussians_from_face(
         return _shared_field_gaussians(
             field, field_params, mesh, splats, offsets, valid, means,
             scale=scale, initial_guess=initial_guess,
-            kd_perturb_std=kd_perturb_std, key=key,
+            kd_perturb_std=kd_perturb_std, ks_perturb_std=ks_perturb_std,
+            key=key,
         )
 
     # gradient-checkpointed + chunked encodings: hashgrid gather residuals
@@ -469,9 +478,12 @@ def get_gaussians_from_face(
 
 def _shared_field_gaussians(
     field: SharedField, field_params, mesh, splats, offsets, valid, means,
-    *, scale, initial_guess, kd_perturb_std, key,
+    *, scale, initial_guess, kd_perturb_std, ks_perturb_std, key,
 ):
-    """SharedField evaluation path: one trunk, per-face granularity option."""
+    """SharedField evaluation path: one trunk, per-face granularity option.
+    One shared jitter position serves both smoothness regularizers (std =
+    kd_perturb_std, falling back to ks_perturb_std when only ks jitters) —
+    a second trunk evaluation per attribute is not worth the gathers."""
     if field.per_face:
         centroids = mesh.face_vertices().mean(1)       # [F, 3]
         pts = jnp.clip(centroids / scale, -1, 1)
@@ -481,8 +493,9 @@ def _shared_field_gaussians(
         expand = lambda v: v  # noqa: E731
 
     x_jitter = None
-    if kd_perturb_std > 0 and key is not None:
-        noise = jax.random.normal(key, pts.shape) * kd_perturb_std
+    jit_std = kd_perturb_std if kd_perturb_std > 0 else ks_perturb_std
+    if jit_std > 0 and key is not None:
+        noise = jax.random.normal(key, pts.shape) * jit_std
         x_jitter = jnp.clip(pts + noise, -1, 1)
 
     res = field.apply_all(field_params, pts, x_jitter)
@@ -494,11 +507,12 @@ def _shared_field_gaussians(
         normals=splats.colors,
         occ=expand(res["occ_raw"]) if res["occ_raw"] is not None else None,
         kd_jitter=(
-            expand(res["kd_jitter"]) if "kd_jitter" in res else None
+            expand(res["kd_jitter"])
+            if "kd_jitter" in res and kd_perturb_std > 0 else None
         ),
         ks_jitter=(
             jax.nn.sigmoid(expand(res["ks_jitter_raw"]) + initial_guess)
-            if "ks_jitter_raw" in res else None
+            if "ks_jitter_raw" in res and ks_perturb_std > 0 else None
         ),
     )
     return splats.replace(means=splats.means - offsets), attrs, offsets, valid

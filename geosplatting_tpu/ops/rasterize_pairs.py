@@ -268,7 +268,7 @@ def _slice_window(lo_ref, hi_ref, buf_ref, woff, kc):
 
 def _fwd_kernel(
     a_r, b_r,                                        # scalar prefetch (packed)
-    lo_ref, hi_ref, out_ref, logt_ref, buf_ref, carry_ref,
+    lo_ref, hi_ref, out_ref, logt_ref, buf_ref, carry_ref, ccount_ref,
     *, tile_size, kc, tw, c,
 ):
     i = pl.program_id(0)
@@ -278,35 +278,58 @@ def _fwd_kernel(
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
         carry_ref[...] = jnp.zeros_like(carry_ref)
+        ccount_ref[...] = jnp.zeros_like(ccount_ref)
 
     saturated = jnp.max(carry_ref[...]) < _LOG_EPS
 
-    @pl.when((cnt > 0) & jnp.logical_not(saturated))
+    @pl.when(cnt > 0)
     def _():
+        # the carry MUST advance for every live chunk even when all pixels
+        # are saturated: the backward reconstructs exclusive transmittance
+        # from the saved total log T minus a full suffix sum, so a skipped
+        # chunk's log1m would make them inconsistent (exploding t_excl for
+        # early pairs). Saturation only skips the accumulation work below.
         p = _slice_window(lo_ref, hi_ref, buf_ref, b_r[i] % _WOFF_PACK, kc)
         sigma, alpha_raw, keep, _, _ = _chunk_pieces(p, cnt, tile, tile_size, tw)
         alpha = jnp.where(keep, alpha_raw, 0.0)
         log1m = jnp.log1p(-alpha)
-        prefix = _cumsum0(log1m)
-        t_excl = jnp.exp(carry_ref[...] + prefix - log1m)
-        w = jnp.where(t_excl > TRANSMITTANCE_EPS, alpha * t_excl, 0.0)
-        ones = jnp.ones((kc, 1), jnp.float32)
-        colmat = jnp.concatenate((p[:, _HDR:_HDR + c], p[:, 6:7], ones), axis=1)
-        # [COUT, P] accumulation — channel-first keeps the out array thin
-        out_ref[0] += jax.lax.dot_general(
-            colmat, w, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        carry_ref[...] = carry_ref[...] + prefix[kc - 1:kc, :]
+
+        @pl.when(jnp.logical_not(saturated))
+        def _():
+            prefix = _cumsum0(log1m)
+            t_excl = jnp.exp(carry_ref[...] + prefix - log1m)
+            live = jax.lax.broadcasted_iota(jnp.int32, (kc, 1), 0) < cnt
+            # per-pixel contributor count: the backward gates pairs by RANK
+            # against this (exact, like CUDA rasterizers' last_contributor)
+            # instead of re-deriving the eps cutoff from recomputed
+            # transmittance, which flips at the boundary under reassociation
+            gate = (t_excl > TRANSMITTANCE_EPS) & live
+            w = jnp.where(gate, alpha * t_excl, 0.0)
+            ccount_ref[...] = ccount_ref[...] + jnp.sum(
+                gate.astype(jnp.float32), axis=0, keepdims=True
+            )
+            ones = jnp.ones((kc, 1), jnp.float32)
+            colmat = jnp.concatenate(
+                (p[:, _HDR:_HDR + c], p[:, 6:7], ones), axis=1
+            )
+            # [COUT, P] accumulation — channel-first keeps the out array thin
+            out_ref[0] += jax.lax.dot_general(
+                colmat, w, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        carry_ref[...] = carry_ref[...] + jnp.sum(log1m, axis=0, keepdims=True)
 
     @pl.when(last == 1)
     def _():
-        logt_ref[0] = carry_ref[...]
+        logt_ref[0, 0:1, :] = carry_ref[...]
+        logt_ref[0, 1:2, :] = ccount_ref[...]
 
 
 def _bwd_kernel(
     a_r, b_r,                       # scalar prefetch (packed, reversed maps)
     lo_ref, hi_ref, g_ref, logt_ref, d_ref, buf_ref, suf_log_ref, suf_ws_ref,
+    back_ref,
     *, tile_size, kc, tw, c, cb,
 ):
     i = pl.program_id(0)
@@ -317,6 +340,7 @@ def _bwd_kernel(
     def _():
         suf_log_ref[...] = jnp.zeros_like(suf_log_ref)
         suf_ws_ref[...] = jnp.zeros_like(suf_ws_ref)
+        back_ref[0] = 0
 
     d_ref[...] = jnp.zeros_like(d_ref)
 
@@ -331,8 +355,12 @@ def _bwd_kernel(
         chunk_tot = -suf_in[kc - 1:kc, :] + log1m[kc - 1:kc, :]
         suf_in = suf_in + chunk_tot
         suffix_incl = suf_log_ref[...] + suf_in
-        t_excl = jnp.exp(logt_ref[0] - suffix_incl)
-        w_live = t_excl > TRANSMITTANCE_EPS
+        t_excl = jnp.exp(logt_ref[0, 0:1, :] - suffix_incl)
+        # rank gate: pair contributes iff its back-rank clears the saved
+        # non-contributor count — bit-exact with the forward's cutoff
+        rows = jax.lax.broadcasted_iota(jnp.int32, (kc, 1), 0)
+        back_rank = (back_ref[0] + cnt - 1 - rows).astype(jnp.float32)
+        w_live = (back_rank >= logt_ref[0, 1:2, :]) & (rows < cnt)
         w = jnp.where(w_live, alpha * t_excl, 0.0)
 
         g = g_ref[0]                                   # [C+2, P]
@@ -372,6 +400,7 @@ def _bwd_kernel(
         )
         suf_log_ref[...] = suf_log_ref[...] + chunk_tot
         suf_ws_ref[...] = suf_ws_ref[...] + ws_tot
+        back_ref[0] = back_ref[0] + cnt
 
 
 def _pack_pairs(bins: PairBins, means2d, conics, opacities, colors, depths, kc):
@@ -442,23 +471,24 @@ def _composite_fwd_impl(
             pl.BlockSpec((1, c + 2, p_sz),
                          lambda i, ma, mb: (ma[i] % _TILE_PACK, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p_sz),
+            pl.BlockSpec((1, 2, p_sz),
                          lambda i, ma, mb: (ma[i] % _TILE_PACK, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * kc, pw), jnp.float32),
             pltpu.VMEM((1, p_sz), jnp.float32),
+            pltpu.VMEM((1, p_sz), jnp.float32),
         ],
     )
-    out_acc, log_t = pl.pallas_call(
+    out_acc, fwd_meta = pl.pallas_call(
         functools.partial(
             _fwd_kernel, tile_size=tile_size, kc=kc, tw=tw, c=c
         ),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles + 1, c + 2, p_sz), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles + 1, 1, p_sz), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles + 1, 2, p_sz), jnp.float32),
         ),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
@@ -468,13 +498,17 @@ def _composite_fwd_impl(
 
     nonempty = (bins.tile_counts > 0)[:, None, None]
     tiles = jnp.where(nonempty, out_acc[:num_tiles], 0.0)  # [T, C+2, P]
-    log_t = jnp.where(nonempty, log_t[:num_tiles], 0.0)
+    fwd_meta = jnp.where(nonempty, fwd_meta[:num_tiles], 0.0)
+    # meta channel 0: total log T; channel 1 becomes D = pairs in the tile
+    # that did NOT contribute (back-of-list), the backward's rank gate
+    d_back = bins.tile_counts[:, None].astype(jnp.float32) - fwd_meta[:, 1, :]
+    bwd_meta = jnp.stack([fwd_meta[:, 0, :], d_back], axis=1)  # [T, 2, P]
     out = (
         jnp.swapaxes(tiles[:, :c, :], 1, 2),   # color [T, P, C]
         tiles[:, c + 1, :],                    # alpha [T, P]
         tiles[:, c, :],                        # depth [T, P]
     )
-    return out, log_t
+    return out, bwd_meta
 
 
 def _composite_fwd(bins, tile_size, kc, num_tiles_xy,
@@ -507,7 +541,7 @@ def _composite_bwd(tile_size, kc, num_tiles_xy, res, cts):
         [g_acc, jnp.zeros((1, c + 2, p_sz), g_acc.dtype)]
     )
     log_t_full = jnp.concatenate(
-        [log_t, jnp.zeros((1, 1, p_sz), log_t.dtype)]
+        [log_t, jnp.zeros((1, 2, p_sz), log_t.dtype)]
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -523,7 +557,7 @@ def _composite_bwd(tile_size, kc, num_tiles_xy, res, cts):
             pl.BlockSpec((1, c + 2, p_sz),
                          lambda i, ma, mb: (ma[cb - 1 - i] % _TILE_PACK, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p_sz),
+            pl.BlockSpec((1, 2, p_sz),
                          lambda i, ma, mb: (ma[cb - 1 - i] % _TILE_PACK, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -535,6 +569,7 @@ def _composite_bwd(tile_size, kc, num_tiles_xy, res, cts):
             pltpu.VMEM((2 * kc, pw), jnp.float32),
             pltpu.VMEM((1, p_sz), jnp.float32),
             pltpu.VMEM((1, p_sz), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     d_padded = pl.pallas_call(

@@ -15,7 +15,9 @@ import jax.numpy as jnp
 
 from ..graphics import images as gimages
 from ..graphics.cameras import Cameras
-from ..models.geosplat import field_from_groups, field_to_groups
+from ..models.geosplat import (
+    field_from_groups, field_group_names, field_to_groups,
+)
 from ..models.geosplat_mc import GeoSplatterMC
 from ..ops.ssim import ssim_l1_loss
 from .grad_utils import sanitize
@@ -71,7 +73,7 @@ class GeoSplatMCTrainer:
             "exposure": OptimizerSpec(lr=c.light_lr * 0.5, eps=c.base_eps, lr_decay=c.base_decay),
             "light": OptimizerSpec(lr=c.light_lr, eps=c.base_eps, lr_decay=c.base_decay),
         }
-        for extra in field_to_groups(model.field.init(jax.random.key(0))):
+        for extra in field_group_names(model.field):
             if extra not in specs:
                 specs[extra] = OptimizerSpec(
                     lr=c.appearance_lr, eps=c.base_eps, lr_decay=c.base_decay

@@ -13,7 +13,9 @@ import jax.numpy as jnp
 from ..graphics import images as gimages
 from ..graphics.cameras import Cameras
 from ..graphics.mesh import TriangleMesh
-from ..models.geosplat import field_from_groups, field_to_groups
+from ..models.geosplat import (
+    field_from_groups, field_group_names, field_to_groups,
+)
 from ..models.geosplat_prior import GeoSplatterPrior
 from ..ops.ssim import ssim_l1_loss
 from .grad_utils import sanitize
@@ -54,7 +56,7 @@ class GeoSplatPriorTrainer:
             "exposure": mk(c.light_lr * 0.5),
             "light": mk(c.light_lr),
         }
-        for extra in field_to_groups(model.field.init(jax.random.key(0))):
+        for extra in field_group_names(model.field):
             if extra not in specs:
                 specs[extra] = mk(c.appearance_lr)
         self.optimizers = GroupOptimizers(specs)

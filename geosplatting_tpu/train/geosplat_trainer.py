@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..graphics import images as gimages
 from ..graphics.cameras import Cameras
 from ..models.geosplat import (
-    GeoSplatter, field_from_groups, field_to_groups,
+    GeoSplatter, field_from_groups, field_group_names, field_to_groups,
 )
 from ..ops.ssim import ssim_l1_loss
 from .grad_utils import sanitize
@@ -94,7 +94,7 @@ class GeoSplatTrainer:
             "exposure": mk(light_lr * 0.5),
             "light": mk(light_lr),
         }
-        for extra in field_to_groups(model.field.init(jax.random.key(0))):
+        for extra in field_group_names(model.field):
             if extra not in specs:
                 specs[extra] = mk(c.appearance_lr)  # shared trunk planes / occ
         self.optimizers = GroupOptimizers(specs)

@@ -58,7 +58,9 @@ void main(){
   float rz = 1.0 / cam.z;
   mat3 J = mat3(focal.x*rz,0,0, 0,focal.y*rz,0,
                 -focal.x*cam.x*rz*rz, -focal.y*cam.y*rz*rz, 0);
-  mat3 C = transpose(J) * Sigma * J;
+  // GLSL mat3(col0, col1, col2): J's columns above already store the EWA
+  // Jacobian's columns, so cov2d = J * Sigma * J^T maps directly
+  mat3 C = J * Sigma * transpose(J);
   float a = C[0][0]+0.3, b = C[0][1], c = C[1][1]+0.3;
   float det = a*c - b*b;
   if (det <= 0.0) { gl_Position = vec4(0,0,2,1); return; }
