@@ -122,14 +122,21 @@ def _decompose_projection(P: np.ndarray):
 
 
 def _fit_sphere(c2w: np.ndarray, radius: float) -> np.ndarray:
-    """Center camera positions and scale so they sit within `radius`
-    (Cameras.transform_to_fit_sphere behavior used by idr_dataparser.py:65)."""
+    """Cameras.transform_to_fit_sphere (_cameras.py:245-265): center on the
+    least-squares intersection of the camera look-at rays, then project every
+    camera position to exactly ``radius`` from that center. (Mean-centering
+    instead would mis-center partial-dome DTU captures.)"""
     c2w = c2w.copy()
-    pos = c2w[:, :, 3]
-    center = pos.mean(0)
+    pos = c2w[:, :, 3]                       # [N, 3]
+    d = -c2w[:, :, 2]                        # look-at directions [N, 3]
+    eye = np.eye(3, dtype=np.float64)
+    a_n = eye[None] - d[:, :, None] @ d[:, None, :]        # [N, 3, 3]
+    b = (a_n @ pos[:, :, None]).sum(0)                     # [3, 1]
+    a_sum = a_n.sum(0)                                     # [3, 3]
+    center = np.linalg.lstsq(a_sum, b, rcond=None)[0][:, 0]
     pos = pos - center
-    scale = radius / max(np.linalg.norm(pos, axis=-1).max(), 1e-8)
-    c2w[:, :, 3] = pos * scale
+    norm = np.maximum(np.linalg.norm(pos, axis=-1, keepdims=True), 1e-8)
+    c2w[:, :, 3] = (pos / norm * radius).astype(c2w.dtype)
     return c2w
 
 
@@ -139,6 +146,7 @@ class IDRDataparser:
 
     scale_factor: float = 0.4
     masked: bool = False
+    fit_radius: float = 3.0 ** 0.5  # masked variant uses 3 (idr_dataparser.py:64,179)
 
     def parse(self, path: Path, split: str) -> ParsedSplit:
         files = sorted((path / "image").glob("*.png"), key=lambda p: p.name)
@@ -156,7 +164,7 @@ class IDRDataparser:
             c2w[i] = pose
             fx[i], fy[i], cx[i], cy[i] = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
         c2w[:, :, 1:3] *= -1  # COLMAP -> Blender camera convention
-        c2w = _fit_sphere(c2w, radius=3.0 ** 0.5)
+        c2w = _fit_sphere(c2w, radius=self.fit_radius)
         sf = self.scale_factor
         mask_paths = None
         if self.masked:
@@ -183,6 +191,7 @@ class IDRDataparser:
 @dataclasses.dataclass(frozen=True)
 class MaskedIDRDataparser(IDRDataparser):
     masked: bool = True
+    fit_radius: float = 3.0
 
     @staticmethod
     def recognize(path: Path) -> bool:

@@ -33,9 +33,8 @@ def estimate_albedo_scaling(
     scalings = []
     for i in range(cameras.shape[0]):
         kd_rgba = model.render_attribute(params, cameras[jnp.array([i])], "kd")[0]
-        albedo = gimages.srgb2rgb(
-            gimages.rgb2srgb(jnp.clip(kd_rgba[..., :3], 0, 1))
-        )  # linear, black-composited (alpha premultiplied already via x alpha)
+        # Linear-space albedo, black-composited (kd is stored linear; alpha
+        # multiplication composites over black as the reference eval does).
         albedo = jnp.clip(kd_rgba[..., :3], 0, 1) * kd_rgba[..., 3:]
         gt = gt_albedos[i]
         if method == "least-square":

@@ -72,8 +72,7 @@ def depth_to_normals(
     camera space (parity with _images.py:373-421's behavior)."""
     dzdx = (jnp.roll(depth, -1, axis=-1) - jnp.roll(depth, 1, axis=-1)) * 0.5
     dzdy = (jnp.roll(depth, -1, axis=-2) - jnp.roll(depth, 1, axis=-2)) * 0.5
-    z = jnp.broadcast_to(jnp.reshape(depth / jnp.maximum(fx * fy, 1e-8) * 0, depth.shape), depth.shape)
-    n = jnp.stack((-dzdx * fx, -dzdy * fy, jnp.ones_like(depth) * z + 1.0), axis=-1)
+    n = jnp.stack((-dzdx * fx, -dzdy * fy, jnp.ones_like(depth)), axis=-1)
     return n / jnp.linalg.norm(n, axis=-1, keepdims=True).clip(1e-8)
 
 

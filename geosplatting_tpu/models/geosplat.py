@@ -601,9 +601,13 @@ def shade_splitsum(
     tile_chunk: int = 8,
     backend: str = "auto",
     env_quality: str = "fast",   # 'fast' (nearest env + analytic FG) | 'exact'
-) -> jnp.ndarray:
+) -> tuple[jnp.ndarray, dict]:
     """RenderableAttrs.splat (geosplat.py:53-132): per-Gaussian split-sum GGX
-    radiance, antialiased rasterization, tone mapping. Returns [H, W, 4]."""
+    radiance, antialiased rasterization, tone mapping.
+
+    Returns ([H, W, 4] rgba, pair-budget info {total_pairs, max_pairs}) —
+    the info lets trainers observe silent pair truncation (rasterize drops
+    pairs beyond max_pairs = pairs_per_gaussian * N)."""
     camera_pos = camera.c2w[:, 3]
     wo = gmath.safe_normalize(camera_pos - splats.means)
     opacities = jax.nn.sigmoid(splats.opacities[:, 0])
@@ -639,7 +643,7 @@ def shade_splitsum(
     else:
         raise ValueError(mode)
 
-    render, alpha, _ = rasterize(
+    render, alpha, info = rasterize(
         splats.means,
         gmath.safe_normalize(splats.quats),
         jnp.exp(splats.scales),
@@ -664,7 +668,11 @@ def shade_splitsum(
         raise ValueError(tone_type)
     if tone_type == "none":
         rgb = rgb * exposure
-    return jnp.concatenate((rgb, alpha), axis=-1)
+    pair_info = {
+        "total_pairs": info["total_pairs"],
+        "max_pairs": jnp.asarray(info["max_pairs"], jnp.int32),
+    }
+    return jnp.concatenate((rgb, alpha), axis=-1), pair_info
 
 
 # --- GeoSplatter (stage-1 model) -------------------------------------------------
@@ -777,6 +785,7 @@ class GeoSplatter:
         kd_perturb_std: float = 0.01,     # static (only gates extra encodings)
         ks_perturb_std: float = 0.01,
         sampling: str = "face",
+        quality: str | None = None,       # override env_quality ('exact' for eval)
     ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
         """Returns (rgba [B, H, W, 4] tone-mapped linear, regularization, aux).
 
@@ -791,6 +800,7 @@ class GeoSplatter:
 
         k_field, _ = jax.random.split(key)
         use_jitter = self.smooth_type == "jitter"
+        num_faces_valid = mesh.face_mask_or_ones().sum().astype(jnp.int32)
         if sampling == "face":
             splats, attrs, _, valid = get_gaussians_from_face(
                 self.field,
@@ -844,13 +854,19 @@ class GeoSplatter:
                 pairs_per_gaussian=self.pairs_per_gaussian,
                 tile_chunk=self.tile_chunk,
                 backend=self.backend,
-                env_quality=self.env_quality,
+                env_quality=quality or self.env_quality,
             )
 
-        rgba = jax.lax.map(render_one, cameras)
+        rgba, pair_info = jax.lax.map(render_one, cameras)
         aux = {
             "num_gaussians": valid.sum(),
             "num_surf_cubes": extracted.num_surf_cubes,
             "num_surf_edges": extracted.num_surf_edges,
+            # overflow observables: silent truncation at either cap degrades
+            # quality invisibly unless trainers watch these
+            "num_faces_valid": num_faces_valid,
+            "max_render_faces": jnp.asarray(self.max_render_faces, jnp.int32),
+            "total_pairs": pair_info["total_pairs"].max(),
+            "max_pairs": pair_info["max_pairs"][0],
         }
         return rgba, reg, aux

@@ -114,6 +114,7 @@ class GeoSplatterDefer:
         tone_type: str = "naive",
         relight_envmap: jnp.ndarray | None = None,
         albedo_scaling: jnp.ndarray | None = None,
+        num_samples_override: int | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
         """Returns (rgba [B, H, W, 4], regularization, aux)."""
         normals = gmath.safe_normalize(params["normals"])
@@ -165,7 +166,7 @@ class GeoSplatterDefer:
             opac = jnp.where(bend, -2.0, params["opacities"])
 
             gbuf_colors = jnp.concatenate((frag_normals, kd, ks, occ), -1)  # 14ch
-            render, alpha, _ = rasterize(
+            render, alpha, info = rasterize(
                 means, gmath.safe_normalize(params["quats"]),
                 jnp.exp(params["scales"]), jax.nn.sigmoid(opac[:, 0]),
                 gbuf_colors, cam.view_matrix, cam.intrinsic_matrix,
@@ -201,7 +202,7 @@ class GeoSplatterDefer:
                 flat(frag_kd),
                 flat(arm),
                 light,
-                num_samples_x=self.num_samples_x,
+                num_samples_x=num_samples_override or self.num_samples_x,
                 visibility_fn=vis_fn,
                 shadow_scale=self.shadow_scale,
             )
@@ -229,11 +230,19 @@ class GeoSplatterDefer:
                 rgb = tone_aces(rgba[..., :3], exposure)
             else:
                 rgb = rgba[..., :3] * exposure
-            return jnp.concatenate((rgb, rgba[..., 3:]), -1)
+            return jnp.concatenate((rgb, rgba[..., 3:]), -1), info["total_pairs"]
 
         bsz = cameras.shape[0]
-        rgba = jax.lax.map(render_one, (cameras, jax.random.split(k3, bsz)))
-        aux = {"num_gaussians": means.shape[0]}
+        rgba, total_pairs = jax.lax.map(
+            render_one, (cameras, jax.random.split(k3, bsz))
+        )
+        aux = {
+            "num_gaussians": means.shape[0],
+            "total_pairs": total_pairs.max(),
+            "max_pairs": jnp.asarray(
+                self.pairs_per_gaussian * means.shape[0], jnp.int32
+            ),
+        }
         return rgba, reg, aux
 
     # --- auxiliary renders (albedo / roughness / normals; eval surface) ---------

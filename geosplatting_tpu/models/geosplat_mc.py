@@ -91,8 +91,15 @@ class GeoSplatterMC:
             # roughness predictor (geosplat_mc.py:56-73 ks transfer)
             field_params["planes"] = jnp.asarray(bundle["planes"])
             field_params["ks"] = jax.tree.map(jnp.asarray, bundle["ks"])
-        elif "ks_enc" in field_params:
+        elif "planes" not in bundle and "ks_enc" in field_params:
             field_params["ks_enc"] = bundle
+        else:
+            raise ValueError(
+                "stage-1 ks export layout does not match the configured "
+                f"stage-2 field: bundle keys {sorted(bundle)} vs field "
+                f"params {sorted(field_params)} — configure the same field "
+                "family (SharedField vs GaussianField) for both stages"
+            )
         return {
             "sdf": jnp.asarray(export["sdf"]),
             "deform": jnp.asarray(export["deform"]),
@@ -226,7 +233,7 @@ class GeoSplatterMC:
             else:
                 colors = spec
 
-            render, alpha, _ = rasterize(
+            render, alpha, info = rasterize(
                 splats.means, gmath.safe_normalize(splats.quats),
                 jnp.exp(splats.scales), jax.nn.sigmoid(splats.opacities[:, 0]),
                 colors, cam.view_matrix, cam.intrinsic_matrix,
@@ -244,16 +251,20 @@ class GeoSplatterMC:
                 rgb = tone_aces(rgb, exposure)
             else:
                 rgb = rgb * exposure
-            return jnp.concatenate((rgb, alpha), -1)
+            return jnp.concatenate((rgb, alpha), -1), info["total_pairs"]
 
         bsz = cameras.shape[0]
-        rgba = jax.lax.map(
+        rgba, total_pairs = jax.lax.map(
             render_one, (cameras, jax.random.split(k_shade, bsz))
         )
         aux = {
             "num_gaussians": valid.sum(),
             "num_surf_cubes": extracted.num_surf_cubes,
             "num_surf_edges": extracted.num_surf_edges,
+            "total_pairs": total_pairs.max(),
+            "max_pairs": jnp.asarray(
+                self.pairs_per_gaussian * splats.means.shape[0], jnp.int32
+            ),
         }
         return rgba, reg, aux
 

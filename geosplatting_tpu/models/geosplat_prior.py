@@ -193,7 +193,7 @@ class GeoSplatterPrior:
                 diff = diff + resi_c[:, 0:1] * residual_light[:, :3]
                 spec = spec + resi_c[:, 1:2] * residual_light[:, 3:]
             colors = diff * (attrs.kd * (1 - metallic)) + spec
-            render, alpha, _ = rasterize(
+            render, alpha, info = rasterize(
                 splats.means, gmath.safe_normalize(splats.quats),
                 jnp.exp(splats.scales), jax.nn.sigmoid(splats.opacities[:, 0]),
                 colors, cam.view_matrix, cam.intrinsic_matrix,
@@ -211,11 +211,20 @@ class GeoSplatterPrior:
                 rgb = tone_aces(rgb, exposure)
             else:
                 rgb = rgb * exposure
-            return jnp.concatenate((rgb, alpha), -1)
+            return jnp.concatenate((rgb, alpha), -1), info["total_pairs"]
 
         bsz = cameras.shape[0]
-        rgba = jax.lax.map(render_one, (cameras, jax.random.split(k_shade, bsz)))
-        return rgba, reg, {"num_gaussians": valid.sum()}
+        rgba, total_pairs = jax.lax.map(
+            render_one, (cameras, jax.random.split(k_shade, bsz))
+        )
+        aux = {
+            "num_gaussians": valid.sum(),
+            "total_pairs": total_pairs.max(),
+            "max_pairs": jnp.asarray(
+                self.pairs_per_gaussian * splats.means.shape[0], jnp.int32
+            ),
+        }
+        return rgba, reg, aux
 
     def export_model(self, params: dict, base_mesh: TriangleMesh, key: jax.Array) -> dict:
         mesh, _ = self.get_geometry(params, base_mesh)

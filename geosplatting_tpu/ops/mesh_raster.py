@@ -90,7 +90,9 @@ def rasterize_mesh(
     total = offsets[-1]
     starts = offsets - ntiles
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
-    fid = jnp.searchsorted(offsets, slot, side="right").astype(jnp.int32)
+    fid = jnp.searchsorted(offsets, slot, side="right", method="sort").astype(
+        jnp.int32
+    )
     fid = jnp.minimum(fid, f - 1)
     local = slot - starts[fid]
     w_g = jnp.maximum(bw[fid], 1)
@@ -105,8 +107,8 @@ def rasterize_mesh(
     )
     s_tile, _, s_fid = jax.lax.sort((tile, depth_key, fid), dimension=0, num_keys=2)
     tr = jnp.arange(num_tiles, dtype=jnp.int32)
-    seg_start = jnp.searchsorted(s_tile, tr, side="left")
-    counts = jnp.searchsorted(s_tile, tr, side="right") - seg_start
+    seg_start = jnp.searchsorted(s_tile, tr, side="left", method="sort")
+    counts = jnp.searchsorted(s_tile, tr, side="right", method="sort") - seg_start
     kk = jnp.arange(tile_capacity, dtype=jnp.int32)
     idx = seg_start[:, None] + kk[None, :]
     in_seg = kk[None, :] < counts[:, None]

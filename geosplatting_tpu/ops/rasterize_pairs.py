@@ -87,6 +87,13 @@ def pick_chunk_size(max_pairs: int, num_tiles: int, chunk_size: int) -> int:
     kc = chunk_size
     while chunk_budget(max_pairs, num_tiles, kc) > _MAX_CHUNK_BUDGET and kc < _WOFF_PACK:
         kc *= 2
+    if chunk_budget(max_pairs, num_tiles, kc) > _MAX_CHUNK_BUDGET:
+        raise ValueError(
+            f"max_pairs={max_pairs} x num_tiles={num_tiles} exceeds the SMEM "
+            f"scalar-prefetch budget even at chunk_size={kc} "
+            f"(budget {chunk_budget(max_pairs, num_tiles, kc)} > "
+            f"{_MAX_CHUNK_BUDGET}); lower max_pairs or raise tile_size"
+        )
     return kc
 
 

@@ -167,6 +167,7 @@ class GeoSplatDeferTrainer:
             "nonfinite_grads": nonfinite_grads,
             "loss": loss, "reg": reg, "splat_psnr": psnr,
             "num_gaussians": aux["num_gaussians"],
+            "pair_fill": aux["total_pairs"] / jnp.maximum(aux["max_pairs"], 1),
             "exposure": jnp.exp(state["params"]["exposure"][0]),
         }
         return {"params": new_params, "opt_state": new_opt}, metrics

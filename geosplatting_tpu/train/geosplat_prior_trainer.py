@@ -127,5 +127,6 @@ class GeoSplatPriorTrainer:
             "nonfinite_grads": nonfinite_grads,
             "loss": loss, "reg": reg,
             "num_gaussians": aux["num_gaussians"],
+            "pair_fill": aux["total_pairs"] / jnp.maximum(aux["max_pairs"], 1),
         }
         return {"params": new_params, "opt_state": new_opt}, metrics

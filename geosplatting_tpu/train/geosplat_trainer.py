@@ -198,6 +198,11 @@ class GeoSplatTrainer:
             "num_gaussians": aux["num_gaussians"],
             "num_surf_cubes": aux["num_surf_cubes"],
             "num_surf_edges": aux["num_surf_edges"],
+            # budget-overflow observables: >1.0 pair_fill or face_fill means
+            # silent truncation is degrading renders (VERDICT r1 weak #4)
+            "pair_fill": aux["total_pairs"] / jnp.maximum(aux["max_pairs"], 1),
+            "face_fill": aux["num_faces_valid"]
+            / jnp.maximum(aux["max_render_faces"], 1),
             "exposure": jnp.exp(state["params"]["exposure"][0]),
         }
         return {"params": new_params, "opt_state": new_opt}, metrics

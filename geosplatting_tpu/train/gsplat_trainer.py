@@ -44,6 +44,12 @@ class GSplatTrainerConfig:
     sh_degree_interval: int = 1000
     stop_split_at: int = 15000
     ssim_lambda: float = 0.2
+    # 2DGS regularizers (reference gsplat_trainer.py:50-53): enabled after a
+    # start step, applied only when the model's rasterize_mode is '2dgs'
+    normal_weight: float = 5e-2
+    normal_weight_start: int = 7000
+    distort_weight: float = 1e-2
+    distort_weight_start: int = 3000
 
 
 def splats_to_params(splats: Splats) -> dict[str, jnp.ndarray]:
@@ -100,7 +106,12 @@ class GSplatTrainer:
         gt_rgba: jnp.ndarray,  # [B, H, W, 4]
         key: jax.Array,
         max_sh_degree: int | None,
+        reg_weights: tuple[jnp.ndarray | float, jnp.ndarray | float] = (0.0, 0.0),
     ) -> tuple[dict[str, Any], dict[str, jnp.ndarray]]:
+        """``reg_weights`` = traced (normal_weight, distort_weight) scalars for
+        the 2DGS losses; use :meth:`reg_weights_at` for the step schedule."""
+        is_2dgs = self.model.rasterize_mode == "2dgs"
+        normal_w, distort_w = reg_weights
         params = state["params"]
         n = params["means"].shape[0]
         bsz = gt_rgba.shape[0]
@@ -118,15 +129,30 @@ class GSplatTrainer:
                     splats, cam, background,
                     max_sh_degree=max_sh_degree, means2d_offset=off,
                 )
-                return rgb, info["radii"]
+                if is_2dgs:
+                    # normal-consistency + distortion (reference
+                    # gsplat_trainer.py:135-139, gsplat.py:265-270)
+                    n_loss = (
+                        1.0 - jnp.sum(
+                            info["normal"]
+                            * (info["pseudo_normal"] * info["alpha_map"]), -1
+                        )
+                    ).mean()
+                    d_loss = info["distort"].mean()
+                    return rgb, (info["radii"], n_loss, d_loss)
+                return rgb, (info["radii"], 0.0, 0.0)
 
             if self.model.camera_batching == "vmap":
-                rgbs, radii = jax.vmap(render_one)(cameras, m2d_off)
+                rgbs, (radii, n_l, d_l) = jax.vmap(render_one)(cameras, m2d_off)
             else:
-                rgbs, radii = jax.lax.map(
+                rgbs, (radii, n_l, d_l) = jax.lax.map(
                     lambda args: render_one(*args), (cameras, m2d_off)
                 )
             loss = ssim_l1_loss(rgbs, gt_rgb, ssim_lambda=self.config.ssim_lambda)
+            if is_2dgs:
+                loss = (
+                    loss + normal_w * jnp.mean(n_l) + distort_w * jnp.mean(d_l)
+                )
             return loss, (rgbs, radii)
 
         m2d_off = jnp.zeros((bsz, n, 2))
@@ -159,6 +185,15 @@ class GSplatTrainer:
     # ---- host-side schedule ------------------------------------------------------
     def max_sh_degree_at(self, step: int) -> int:
         return min(step // self.config.sh_degree_interval, self.model.sh_degree)
+
+    def reg_weights_at(self, step: int) -> tuple[float, float]:
+        """(normal_weight, distort_weight) 2DGS schedule — the reference's
+        _normal/_distort_weight_enable flags (gsplat_trainer.py:72-73)."""
+        c = self.config
+        return (
+            c.normal_weight if step >= c.normal_weight_start else 0.0,
+            c.distort_weight if step >= c.distort_weight_start else 0.0,
+        )
 
     def after_update(
         self, state: dict[str, Any], step: int, key: jax.Array, last_wh: tuple[int, int]
