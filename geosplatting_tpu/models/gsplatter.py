@@ -19,6 +19,7 @@ from ..graphics import gmath
 from ..graphics.cameras import Cameras
 from ..graphics.splats import Splats
 from ..ops.rasterize import rasterize
+from ..ops.rasterize_2dgs import rasterize_2dgs
 from ..utils.tensorclass import static_field
 
 
@@ -65,7 +66,7 @@ class GSplatter:
             pairs_per_gaussian=self.pairs_per_gaussian,
             tile_chunk=self.tile_chunk,
             chunk_size=self.chunk_size,
-            rasterize_mode=self.rasterize_mode if self.rasterize_mode != "2dgs" else "classic",
+            rasterize_mode=self.rasterize_mode,
             backend=self.backend,
         )
 
@@ -80,6 +81,33 @@ class GSplatter:
     ) -> tuple[jnp.ndarray, dict]:
         """Returns ([H, W, 4] premultiplied rgba, info)."""
         colors, deg = self._colors_and_degree(splats, max_sh_degree)
+        if self.rasterize_mode == "2dgs":
+            render, alpha, normal, pseudo_normal, distort, median, info = (
+                rasterize_2dgs(
+                    splats.means,
+                    gmath.safe_normalize(splats.quats),
+                    jnp.exp(splats.scales),
+                    jax.nn.sigmoid(splats.opacities[:, 0]),
+                    colors,
+                    camera.view_matrix,
+                    camera.intrinsic_matrix,
+                    camera.width,
+                    camera.height,
+                    sh_degree=deg,
+                    render_mode="RGB+ED",
+                    offset2d=means2d_offset,
+                    tile_size=self.block_width,
+                    tile_capacity=self.tile_capacity,
+                    pairs_per_gaussian=self.pairs_per_gaussian,
+                    tile_chunk=min(self.tile_chunk, 4),
+                )
+            )
+            info = dict(
+                info, normal=normal, pseudo_normal=pseudo_normal,
+                distort=distort, median_depth=median, depth=render[..., -1:],
+                alpha_map=alpha,
+            )
+            return jnp.concatenate((render[..., :3], alpha), axis=-1), info
         render, alpha, info = rasterize(
             splats.means,
             gmath.safe_normalize(splats.quats),
@@ -114,6 +142,9 @@ class GSplatter:
 
     def render_depth(self, splats: Splats, camera: Cameras) -> jnp.ndarray:
         """Expected depth + alpha, [H, W, 2] (gsplat 'ED' mode, gsplat.py:112-186)."""
+        if self.rasterize_mode == "2dgs":
+            rgba, info = self.render_rgba(splats, camera)
+            return jnp.concatenate((info["depth"], rgba[..., 3:]), axis=-1)
         render, alpha, _ = rasterize(
             splats.means,
             gmath.safe_normalize(splats.quats),
