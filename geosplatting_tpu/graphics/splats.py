@@ -96,14 +96,24 @@ def _logit(p: float) -> float:
 
 
 def _mean_knn_distance(pts: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Mean distance to k nearest neighbors (excluding self). O(N^2), init-time only."""
+    """Mean distance to k nearest neighbors (excluding self). Init-time only.
+
+    Brute force against all points up to 2^19 candidates; beyond that the
+    candidate set is a deterministic subsample (init scales only need the
+    local density statistic, and a [chunk, N] distance matrix at multi-M N
+    would not fit HBM). Chunk size adapts so the matrix stays under ~2 GB."""
     n = pts.shape[0]
     if n <= k:
         return jnp.full((n,), 0.1)
-    chunk = 4096
+    cand = pts
+    if n > (1 << 19):
+        idx = jnp.linspace(0, n - 1, 1 << 19).astype(jnp.int32)
+        cand = pts[idx]
+    m = cand.shape[0]
+    chunk = int(max(min(4096, (1 << 29) // max(m, 1)), 64))
 
     def nearest(block):
-        d2 = jnp.sum((block[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+        d2 = jnp.sum((block[:, None, :] - cand[None, :, :]) ** 2, axis=-1)
         top = -jax.lax.top_k(-d2, k + 1)[0]  # smallest k+1 (includes self 0)
         return jnp.sqrt(jnp.maximum(top[:, 1:], 0.0)).mean(axis=-1)
 

@@ -598,6 +598,7 @@ def shade_splitsum(
     culling: bool = False,
     tile_capacity: int = 1024,
     pairs_per_gaussian: int = 6,
+    pairs_budget: int | None = None,
     tile_chunk: int = 8,
     backend: str = "auto",
     env_quality: str = "fast",   # 'fast' (nearest env + analytic FG) | 'exact'
@@ -656,6 +657,7 @@ def shade_splitsum(
         rasterize_mode="antialiased",
         tile_capacity=tile_capacity,
         pairs_per_gaussian=pairs_per_gaussian,
+        max_pairs_override=pairs_budget,
         tile_chunk=tile_chunk,
         backend=backend,
     )
@@ -706,6 +708,7 @@ class GeoSplatter:
     max_render_faces: int = 1 << 18
     field_eval_chunk: int = 262144
     pairs_per_gaussian: int = 3
+    pairs_budget: int | None = None   # absolute screen-pair cap (see pair_fill)
     tile_chunk: int = 8
     env_num_samples: int = 64
     prefilter_method: str = "conv"   # 'conv' (fast, training) | 'sampled'
@@ -852,6 +855,7 @@ class GeoSplatter:
                 max_metallic=self.max_metallic,
                 tile_capacity=self.tile_capacity,
                 pairs_per_gaussian=self.pairs_per_gaussian,
+                pairs_budget=self.pairs_budget,
                 tile_chunk=self.tile_chunk,
                 backend=self.backend,
                 env_quality=quality or self.env_quality,

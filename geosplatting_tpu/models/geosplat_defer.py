@@ -49,6 +49,7 @@ class GeoSplatterDefer:
     shadow_scale: float = 1.0
     tile_capacity: int = 1024
     pairs_per_gaussian: int = 6
+    pairs_budget: int | None = None
     tile_chunk: int = 8
     mesh_tile_capacity: int = 256
     backend: str = "auto"
@@ -174,6 +175,7 @@ class GeoSplatterDefer:
                 rasterize_mode="antialiased",
                 tile_capacity=self.tile_capacity,
                 pairs_per_gaussian=self.pairs_per_gaussian,
+                max_pairs_override=self.pairs_budget,
                 tile_chunk=self.tile_chunk,
                 backend=self.backend,
             )
@@ -240,7 +242,8 @@ class GeoSplatterDefer:
             "num_gaussians": means.shape[0],
             "total_pairs": total_pairs.max(),
             "max_pairs": jnp.asarray(
-                self.pairs_per_gaussian * means.shape[0], jnp.int32
+                min(self.pairs_per_gaussian * means.shape[0], self.pairs_budget or (1 << 62)),
+                jnp.int32,
             ),
         }
         return rgba, reg, aux

@@ -69,6 +69,7 @@ class GeoSplatterMC:
     max_render_faces: int = 1 << 18
     field_eval_chunk: int = 262144
     pairs_per_gaussian: int = 3
+    pairs_budget: int | None = None
     tile_chunk: int = 8
     num_samples_x: int = 8
     shadow_scale: float = 1.0
@@ -241,6 +242,7 @@ class GeoSplatterMC:
                 rasterize_mode="antialiased",
                 tile_capacity=self.tile_capacity,
                 pairs_per_gaussian=self.pairs_per_gaussian,
+                max_pairs_override=self.pairs_budget,
                 tile_chunk=self.tile_chunk,
                 backend=self.backend,
             )
@@ -263,7 +265,8 @@ class GeoSplatterMC:
             "num_surf_edges": extracted.num_surf_edges,
             "total_pairs": total_pairs.max(),
             "max_pairs": jnp.asarray(
-                self.pairs_per_gaussian * splats.means.shape[0], jnp.int32
+                min(self.pairs_per_gaussian * splats.means.shape[0], self.pairs_budget or (1 << 62)),
+                jnp.int32,
             ),
         }
         return rgba, reg, aux

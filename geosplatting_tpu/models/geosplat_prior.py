@@ -60,6 +60,7 @@ class GeoSplatterPrior:
     max_render_faces: int | None = None  # prior meshes are real, not padded
     field_eval_chunk: int = 262144
     pairs_per_gaussian: int = 6
+    pairs_budget: int | None = None
     tile_chunk: int = 8
     backend: str = "auto"
 
@@ -201,6 +202,7 @@ class GeoSplatterPrior:
                 rasterize_mode="antialiased",
                 tile_capacity=self.tile_capacity,
                 pairs_per_gaussian=self.pairs_per_gaussian,
+                max_pairs_override=self.pairs_budget,
                 tile_chunk=self.tile_chunk,
                 backend=self.backend,
             )
@@ -221,7 +223,8 @@ class GeoSplatterPrior:
             "num_gaussians": valid.sum(),
             "total_pairs": total_pairs.max(),
             "max_pairs": jnp.asarray(
-                self.pairs_per_gaussian * splats.means.shape[0], jnp.int32
+                min(self.pairs_per_gaussian * splats.means.shape[0], self.pairs_budget or (1 << 62)),
+                jnp.int32,
             ),
         }
         return rgba, reg, aux

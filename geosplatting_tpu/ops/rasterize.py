@@ -234,6 +234,7 @@ def rasterize(
     backend: str = "auto",
     chunk_size: int = 128,
     lim_override: tuple | None = None,
+    max_pairs_override: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Render one camera. Returns (render [H,W,C(+1)], alpha [H,W,1], info).
 
@@ -259,8 +260,42 @@ def rasterize(
         colors = jnp.maximum(
             gmath.eval_sh(sh_degree, colors, viewdir) + 0.5, 0.0
         )
+    return rasterize_projected(
+        proj, colors, width, height, near=near, far=far,
+        tile_size=tile_size, tile_capacity=tile_capacity,
+        pairs_per_gaussian=pairs_per_gaussian, render_mode=render_mode,
+        tile_chunk=tile_chunk, backend=backend, chunk_size=chunk_size,
+        max_pairs_override=max_pairs_override,
+    )
 
+
+def rasterize_projected(
+    proj: Projected,
+    colors: jnp.ndarray,
+    width: int,
+    height: int,
+    *,
+    near: float = 0.01,
+    far: float = 1e10,
+    tile_size: int = 16,
+    tile_capacity: int = 1024,
+    pairs_per_gaussian: int = 8,
+    render_mode: str = "RGB",
+    tile_chunk: int = 8,
+    backend: str = "auto",
+    chunk_size: int = 128,
+    max_pairs_override: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Binning + compositing on an already-projected Gaussian set — the
+    entry point for sharded renderers that split projection and compositing
+    across devices (parallel/gs_sharding.py)."""
+    n = proj.means2d.shape[0]
+    # every binning/pack/sort/kernel buffer scales with this static budget;
+    # models whose worst-case N far exceeds the live count should pass
+    # max_pairs_override (watch the pair_fill/total_pairs observables)
     max_pairs = max(int(pairs_per_gaussian) * n, 1 << 12)
+    if max_pairs_override is not None:
+        max_pairs = max(min(max_pairs, int(max_pairs_override)), 1 << 12)
 
     if render_mode in ("ED", "RGB+ED", "D", "RGB+D"):
         pass

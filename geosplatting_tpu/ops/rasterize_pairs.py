@@ -275,7 +275,8 @@ def _slice_window(lo_ref, hi_ref, buf_ref, woff, kc):
 
 def _fwd_kernel(
     a_r, b_r,                                        # scalar prefetch (packed)
-    lo_ref, hi_ref, out_ref, logt_ref, buf_ref, carry_ref, ccount_ref,
+    lo_ref, hi_ref, out_ref, logt_ref, ctot_ref, buf_ref, carry_ref,
+    ccount_ref,
     *, tile_size, kc, tw, c,
 ):
     i = pl.program_id(0)
@@ -287,45 +288,48 @@ def _fwd_kernel(
         carry_ref[...] = jnp.zeros_like(carry_ref)
         ccount_ref[...] = jnp.zeros_like(ccount_ref)
 
+    ctot_ref[...] = jnp.zeros_like(ctot_ref)
     saturated = jnp.max(carry_ref[...]) < _LOG_EPS
 
-    @pl.when(cnt > 0)
+    @pl.when((cnt > 0) & jnp.logical_not(saturated))
     def _():
-        # the carry MUST advance for every live chunk even when all pixels
-        # are saturated: the backward reconstructs exclusive transmittance
-        # from the saved total log T minus a full suffix sum, so a skipped
-        # chunk's log1m would make them inconsistent (exploding t_excl for
-        # early pairs). Saturation only skips the accumulation work below.
+        # fully-saturated tiles FREEZE: the whole chunk is skipped and its
+        # saved per-chunk total stays zero, so the backward's suffix
+        # reconstruction (which adds saved totals for skipped chunks) stays
+        # consistent — frozen chunks lie entirely behind every pixel's
+        # contributor cutoff, so the rank gate zeroes their gradients anyway.
         p = _slice_window(lo_ref, hi_ref, buf_ref, b_r[i] % _WOFF_PACK, kc)
         sigma, alpha_raw, keep, _, _ = _chunk_pieces(p, cnt, tile, tile_size, tw)
         alpha = jnp.where(keep, alpha_raw, 0.0)
         log1m = jnp.log1p(-alpha)
 
-        @pl.when(jnp.logical_not(saturated))
-        def _():
-            prefix = _cumsum0(log1m)
-            t_excl = jnp.exp(carry_ref[...] + prefix - log1m)
-            live = jax.lax.broadcasted_iota(jnp.int32, (kc, 1), 0) < cnt
-            # per-pixel contributor count: the backward gates pairs by RANK
-            # against this (exact, like CUDA rasterizers' last_contributor)
-            # instead of re-deriving the eps cutoff from recomputed
-            # transmittance, which flips at the boundary under reassociation
-            gate = (t_excl > TRANSMITTANCE_EPS) & live
-            w = jnp.where(gate, alpha * t_excl, 0.0)
-            ccount_ref[...] = ccount_ref[...] + jnp.sum(
-                gate.astype(jnp.float32), axis=0, keepdims=True
-            )
-            ones = jnp.ones((kc, 1), jnp.float32)
-            colmat = jnp.concatenate(
-                (p[:, _HDR:_HDR + c], p[:, 6:7], ones), axis=1
-            )
-            # [COUT, P] accumulation — channel-first keeps the out array thin
-            out_ref[0] += jax.lax.dot_general(
-                colmat, w, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+        prefix = _cumsum0(log1m)
+        t_excl = jnp.exp(carry_ref[...] + prefix - log1m)
+        live = jax.lax.broadcasted_iota(jnp.int32, (kc, 1), 0) < cnt
+        # per-pixel contributor count: the backward gates pairs by RANK
+        # against this (exact, like CUDA rasterizers' last_contributor)
+        # instead of re-deriving the eps cutoff from recomputed
+        # transmittance, which flips at the boundary under reassociation
+        gate = (t_excl > TRANSMITTANCE_EPS) & live
+        w = jnp.where(gate, alpha * t_excl, 0.0)
+        ccount_ref[...] = ccount_ref[...] + jnp.sum(
+            gate.astype(jnp.float32), axis=0, keepdims=True
+        )
+        ones = jnp.ones((kc, 1), jnp.float32)
+        colmat = jnp.concatenate(
+            (p[:, _HDR:_HDR + c], p[:, 6:7], ones), axis=1
+        )
+        # [COUT, P] accumulation — channel-first keeps the out array thin
+        out_ref[0] += jax.lax.dot_general(
+            colmat, w, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-        carry_ref[...] = carry_ref[...] + jnp.sum(log1m, axis=0, keepdims=True)
+        chunk_tot = jnp.sum(log1m, axis=0, keepdims=True)
+        # per-chunk log-T total, saved so the backward's dead-chunk early
+        # exit can advance its suffix carry without recomputing alphas
+        ctot_ref[0] = chunk_tot
+        carry_ref[...] = carry_ref[...] + chunk_tot
 
     @pl.when(last == 1)
     def _():
@@ -334,9 +338,9 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    a_r, b_r,                       # scalar prefetch (packed, reversed maps)
-    lo_ref, hi_ref, g_ref, logt_ref, d_ref, buf_ref, suf_log_ref, suf_ws_ref,
-    back_ref,
+    a_r, b_r, dead_r,               # scalar prefetch (packed, reversed maps)
+    lo_ref, hi_ref, g_ref, logt_ref, ctot_ref, d_ref, buf_ref, suf_log_ref,
+    suf_ws_ref, back_ref,
     *, tile_size, kc, tw, c, cb,
 ):
     i = pl.program_id(0)
@@ -351,7 +355,16 @@ def _bwd_kernel(
 
     d_ref[...] = jnp.zeros_like(d_ref)
 
-    @pl.when(cnt > 0)
+    @pl.when((cnt > 0) & (dead_r[rc] == 1))
+    def _():
+        # dead-chunk early exit: every row of this chunk is behind every
+        # pixel's contributor cutoff (rank gate), so all its gradients are
+        # zero — advance the suffix carry from the forward's saved per-chunk
+        # log-T total and skip the alpha/gradient math entirely
+        suf_log_ref[...] = suf_log_ref[...] + ctot_ref[0]
+        back_ref[0] = back_ref[0] + cnt
+
+    @pl.when((cnt > 0) & (dead_r[rc] == 0))
     def _():
         p = _slice_window(lo_ref, hi_ref, buf_ref, b_r[rc] % _WOFF_PACK, kc)
         sigma, alpha_raw, keep, dx, dy = _chunk_pieces(p, cnt, tile, tile_size, tw)
@@ -445,7 +458,7 @@ def composite_pairs_pallas(
     num_tiles_xy: tuple[int, int],
     means2d, conics, opacities, colors, depths,
 ):
-    out, _ = _composite_fwd_impl(
+    out, _, _ = _composite_fwd_impl(
         bins, tile_size, chunk_size, num_tiles_xy,
         means2d, conics, opacities, colors, depths,
     )
@@ -481,6 +494,9 @@ def _composite_fwd_impl(
             pl.BlockSpec((1, 2, p_sz),
                          lambda i, ma, mb: (ma[i] % _TILE_PACK, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p_sz),
+                         lambda i, ma, mb: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((2 * kc, pw), jnp.float32),
@@ -488,7 +504,7 @@ def _composite_fwd_impl(
             pltpu.VMEM((1, p_sz), jnp.float32),
         ],
     )
-    out_acc, fwd_meta = pl.pallas_call(
+    out_acc, fwd_meta, chunk_tots = pl.pallas_call(
         functools.partial(
             _fwd_kernel, tile_size=tile_size, kc=kc, tw=tw, c=c
         ),
@@ -496,6 +512,7 @@ def _composite_fwd_impl(
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles + 1, c + 2, p_sz), jnp.float32),
             jax.ShapeDtypeStruct((num_tiles + 1, 2, p_sz), jnp.float32),
+            jax.ShapeDtypeStruct((cb, 1, p_sz), jnp.float32),
         ),
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(
@@ -515,21 +532,21 @@ def _composite_fwd_impl(
         tiles[:, c + 1, :],                    # alpha [T, P]
         tiles[:, c, :],                        # depth [T, P]
     )
-    return out, bwd_meta
+    return out, bwd_meta, chunk_tots
 
 
 def _composite_fwd(bins, tile_size, kc, num_tiles_xy,
                    means2d, conics, opacities, colors, depths):
-    out, log_t = _composite_fwd_impl(
+    out, log_t, chunk_tots = _composite_fwd_impl(
         bins, tile_size, kc, num_tiles_xy,
         means2d, conics, opacities, colors, depths,
     )
-    res = (bins, means2d, conics, opacities, colors, depths, log_t)
+    res = (bins, means2d, conics, opacities, colors, depths, log_t, chunk_tots)
     return out, res
 
 
 def _composite_bwd(tile_size, kc, num_tiles_xy, res, cts):
-    bins, means2d, conics, opacities, colors, depths, log_t = res
+    bins, means2d, conics, opacities, colors, depths, log_t, chunk_tots = res
     g_c, g_a, g_d = cts
     tw, th = num_tiles_xy
     num_tiles = tw * th
@@ -538,6 +555,25 @@ def _composite_bwd(tile_size, kc, num_tiles_xy, res, cts):
     p_sz = tile_size * tile_size
     pw = _HDR + c
     pairs = _pack_pairs(bins, means2d, conics, opacities, colors, depths, kc)
+
+    # dead-chunk mask: a chunk whose highest back-rank is below every pixel's
+    # non-contributor count D can produce only zero gradients (rank gate) —
+    # the kernel skips it. back_before = pairs behind this chunk in its tile.
+    tile_c = bins.meta_a % _TILE_PACK
+    cnt_c = bins.meta_a // (_TILE_PACK * 4)
+    s_inc = jnp.cumsum(cnt_c)
+    tile_end = jax.ops.segment_max(
+        s_inc, tile_c, num_segments=num_tiles + 1
+    )
+    back_before = tile_end[tile_c] - s_inc
+    min_d = jnp.min(log_t[:, 1, :], axis=-1)               # [T]
+    min_d_c = jnp.concatenate([min_d, jnp.zeros((1,))])[
+        jnp.minimum(tile_c, num_tiles)
+    ]
+    dead = (
+        (back_before + cnt_c).astype(jnp.float32) - 1.0 < min_d_c
+    ) & (cnt_c > 0)
+    dead = dead.astype(jnp.int32)
 
     # combined output cotangent in colmat channel order: colors | depth | alpha
     g_acc = jnp.concatenate(
@@ -551,25 +587,34 @@ def _composite_bwd(tile_size, kc, num_tiles_xy, res, cts):
         [log_t, jnp.zeros((1, 2, p_sz), log_t.dtype)]
     )
 
+    # dead chunks route their window/tile block fetches to a fixed block so
+    # consecutive dead iterations elide the DMAs
+    def win_lo(i, ma, mb, dd):
+        rc = cb - 1 - i
+        return (jnp.where(dd[rc] == 1, 0, mb[rc] // _WOFF_PACK), 0)
+
+    def win_hi(i, ma, mb, dd):
+        rc = cb - 1 - i
+        return (jnp.where(dd[rc] == 1, 0, mb[rc] // _WOFF_PACK + 1), 0)
+
+    def tile_blk(i, ma, mb, dd):
+        rc = cb - 1 - i
+        return (jnp.where(dd[rc] == 1, num_tiles, ma[rc] % _TILE_PACK), 0, 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(cb,),
         in_specs=[
-            pl.BlockSpec((kc, pw),
-                         lambda i, ma, mb: (mb[cb - 1 - i] // _WOFF_PACK, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, pw),
-                         lambda i, ma, mb: (mb[cb - 1 - i] // _WOFF_PACK + 1, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c + 2, p_sz),
-                         lambda i, ma, mb: (ma[cb - 1 - i] % _TILE_PACK, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, p_sz),
-                         lambda i, ma, mb: (ma[cb - 1 - i] % _TILE_PACK, 0, 0),
+            pl.BlockSpec((kc, pw), win_lo, memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, pw), win_hi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c + 2, p_sz), tile_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, p_sz), tile_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p_sz),
+                         lambda i, ma, mb, dd: (cb - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, kc, pw), lambda i, ma, mb: (cb - 1 - i, 0, 0),
+            (1, kc, pw), lambda i, ma, mb, dd: (cb - 1 - i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -589,7 +634,7 @@ def _composite_bwd(tile_size, kc, num_tiles_xy, res, cts):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(*_scalar_args(bins), pairs, pairs, g_acc, log_t_full)
+    )(*_scalar_args(bins), dead, pairs, pairs, g_acc, log_t_full, chunk_tots)
 
     d_rows = d_padded.reshape(cb * kc, pw)
     d_rows = jnp.concatenate([d_rows, jnp.zeros((1, pw), d_rows.dtype)])

@@ -48,6 +48,10 @@ def main():
     model = GeoSplatter(
         resolution=RES, scale=0.8,
         backend=os.environ.get("BACKEND", "auto"),
+        pairs_budget=(
+            int(os.environ["PAIRS_BUDGET"]) if "PAIRS_BUDGET" in os.environ
+            else None
+        ),
     )
     cams = Cameras.from_orbit(
         center=jnp.zeros(3), radius=2.0, elevation_degrees=15.0,
