@@ -33,6 +33,18 @@ class Experiment:
         self.base_dir.mkdir(parents=True, exist_ok=True)
         return self
 
+    @classmethod
+    def attach(cls, base_dir: Path) -> "Experiment":
+        """Re-attach to an existing ``outputs/<name>/<timestamp>`` directory
+        (resume flows; the reference's load_from_script keeps logging into the
+        original run directory, engine/train.py:192-197)."""
+        base_dir = Path(base_dir)
+        return cls(
+            name=base_dir.parent.name,
+            output_root=base_dir.parent.parent,
+            timestamp=base_dir.name,
+        )
+
     def log(self, message: str) -> None:
         self.base_dir.mkdir(parents=True, exist_ok=True)
         stamp = datetime.datetime.now().strftime("%H:%M:%S")

@@ -1,6 +1,11 @@
-"""The training loop (parity: ``rfstudio/engine/train.py:48-197``): dataset
-iteration, trainer stepping, periodic checkpointing + config-as-script dump,
-validation metrics, and resume.
+"""Training tasks for every model family + the shared training loop.
+
+Parity: ``rfstudio/engine/train.py:48-197`` (loop, val metrics, image dumps,
+dashboard, turntable frames, checkpoint/resume) and the per-model TrainTask
+presets in ``tests/model/test_geosplat{,_mc,_defer,_prior}.py`` /
+``test_gsplat.py``. Stage hand-offs are on-disk exports (``stage_io``)
+consumed by the next stage's ``--load``; ``resume()`` re-executes a run's
+dumped ``task.py`` and continues from the latest checkpoint.
 
 Checkpoints are orbax pytrees of the full trainer state; the config script
 (``task.py``) makes every run reproducible from its output directory — the
@@ -17,8 +22,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.dataset import Dataset
-from ..utils.config import dump_dataclass_as_str
+from ..graphics import images as gimages
+from ..utils.config import dump_dataclass_as_str, load_dataclass
 from .experiment import Experiment
+from .stage_io import find_export, load_export, save_export
 
 
 def save_checkpoint(ckpt_dir: Path, step: int, state: Any) -> None:
@@ -41,19 +48,243 @@ def load_checkpoint(ckpt_dir: Path, abstract_state: Any, step: int | None = None
     return state, step
 
 
+def resume(output_dir: Path, step: int | None = None) -> dict:
+    """Continue a half-finished run from its output directory: re-import the
+    dumped ``task.py`` config and restore the latest (or given) checkpoint
+    (reference TrainTask.load_from_script, engine/train.py:192-197)."""
+    output_dir = Path(output_dir)
+    task = load_dataclass(output_dir / "task.py")
+    return task.run(resume_dir=output_dir, resume_step=step)
+
+
 @dataclasses.dataclass
-class GeoSplatTrainTask:
-    """Stage-1 training task: ``TrainTask`` over GeoSplatter (the CLI shape
-    of tests/model/test_geosplat.py presets)."""
+class ResumeTask:
+    """CLI resume: continue a half-finished run from its output directory."""
+
+    dir: Path = Path(".")
+    step: int | None = None
+
+    def run(self) -> dict:
+        return resume(self.dir, self.step)
+
+
+@dataclasses.dataclass
+class RelightEvalTask:
+    """Standalone eval against a finished stage-3 output dir: rebuilds the
+    model from the dumped ``task.py``, loads the exported params/geometry and
+    runs the NVS / relight / material metric suite
+    (tests/model/test_geosplat_defer.py nvseval/reliteval subcommands)."""
+
+    load: Path = Path(".")
+    dataset_path: Path = Path(".")
+    scale_factor: float | None = None
+    skip_nvs: bool = False
+    skip_rlit: bool = False
+    skip_mat: bool = False
+    fast: bool = True
+    seed: int = 0
+
+    def run(self) -> dict:
+        import json
+
+        from .eval_tasks import RelightEvaler
+
+        load = Path(self.load)
+        task3 = load_dataclass(load / "task.py")
+        model, _ = task3.build(None, None)
+        export = load_export(find_export(load))
+        ev = RelightEvaler(
+            model=model, params=export["params"], geometry=export["geometry"],
+            skip_nvs=self.skip_nvs, skip_rlit=self.skip_rlit,
+            skip_mat=self.skip_mat, fast=self.fast, seed=self.seed,
+        )
+        dataset = Dataset(self.dataset_path, scale_factor=self.scale_factor)
+        results = ev.run(dataset)
+        (load / "eval.json").write_text(json.dumps(results, indent=2))
+        for k, v in results.items():
+            print(f"{k}: {v}")
+        return results
+
+
+def _psnr(pred: np.ndarray, gt: np.ndarray) -> float:
+    mse = float(np.mean((pred - gt) ** 2))
+    return -10.0 * float(np.log10(max(mse, 1e-12)))
+
+
+@dataclasses.dataclass
+class _TrainTaskBase:
+    """Shared training-loop shell; subclasses wire a model family in."""
 
     dataset_path: Path = Path(".")
-    experiment_name: str = "geosplat"
+    experiment_name: str = "task"
     seed: int = 0
     num_steps: int = 500
     batch_size: int = 8
     num_steps_per_save: int = 250
     num_steps_per_val: int = 100
+    num_val_images: int = 2
     scale_factor: float | None = None
+    dashboard: bool = False        # live rich dashboard (train.py:58-70)
+    turntable: str = "disable"     # '+z' | '+y' enables turntable vis frames
+    load: Path | None = None       # previous-stage output dir (export input)
+
+    # ---- subclass hooks ----------------------------------------------------
+    def build(self, dataset: Dataset, key) -> tuple[Any, Any]:
+        """-> (model, trainer)"""
+        raise NotImplementedError
+
+    def init_state(self, model, trainer, key) -> dict:
+        raise NotImplementedError
+
+    def step_fn(self, model, trainer, state, cams, gt, key, step):
+        raise NotImplementedError
+
+    def val_render(self, model, trainer, state, cams, key) -> jnp.ndarray:
+        """-> [B, H, W, 4] premultiplied-sRGB rgba prediction."""
+        raise NotImplementedError
+
+    def export(self, model, trainer, state, key) -> dict | None:
+        return None
+
+    def after_update(self, model, trainer, state, step, key, last_wh):
+        return state
+
+    # ---- the loop ----------------------------------------------------------
+    def run(self, resume_dir: Path | None = None, resume_step: int | None = None) -> dict:
+        from ..ui import console
+        from ..visualization.turntable import OptimizationVisualizer
+
+        dataset = Dataset(self.dataset_path, scale_factor=self.scale_factor)
+        key = jax.random.key(self.seed)
+        key, k_build, k_init = jax.random.split(key, 3)
+        model, trainer = self.build(dataset, k_build)
+
+        if resume_dir is not None:
+            exp = Experiment.attach(Path(resume_dir)).setup()
+        else:
+            exp = Experiment(self.experiment_name).setup()
+        (exp.base_dir / "task.py").write_text(dump_dataclass_as_str(self))
+
+        state = self.init_state(model, trainer, k_init)
+        start_step = 0
+        if resume_dir is not None and (exp.ckpt_dir).exists():
+            state, start_step = load_checkpoint(
+                exp.ckpt_dir, jax.tree.map(np.asarray, state), resume_step
+            )
+            state = jax.tree.map(jnp.asarray, state)
+            exp.log(f"resumed from step {start_step}")
+
+        vis = None
+        if self.turntable != "disable":
+            val_cams0, _, _ = dataset.get_split(self._val_split(dataset))
+            vis = OptimizationVisualizer(
+                up=self.turntable, resolution=(val_cams0.width, val_cams0.height)
+            )
+            vis.setup(self.num_steps)
+
+        it = dataset.iter_batches("train", self.batch_size, seed=self.seed)
+        for _ in range(start_step):  # keep the data order deterministic
+            next(it)
+
+        dash_ctx = console.screen(self.experiment_name) if self.dashboard else None
+        dash = dash_ctx.__enter__() if dash_ctx else None
+        metrics: dict = {}
+        val_metrics: dict = {}
+        try:
+            t_start = time.time()
+            for step in range(start_step, self.num_steps):
+                cams, gt, _ = next(it)
+                key, sub = jax.random.split(key)
+                state, metrics = self.step_fn(
+                    model, trainer, state, cams, gt, sub, step
+                )
+                key, sub = jax.random.split(key)
+                state = self.after_update(
+                    model, trainer, state, step, sub, (cams.width, cams.height)
+                )
+
+                if dash is not None:
+                    dash(step + 1, {**metrics, **val_metrics})
+                if vis is not None:
+                    cam = vis.get_camera(step + 1)
+                    if cam is not None:
+                        key, sub = jax.random.split(key)
+                        frame = self.val_render(
+                            model, trainer, state, cam[None] if cam.shape == () else cam, sub
+                        )
+                        exp.dump_image(
+                            f"vis/{step + 1:06d}.png", np.asarray(frame[0])
+                        )
+
+                if (step + 1) % self.num_steps_per_val == 0 or step + 1 == self.num_steps:
+                    key, sub = jax.random.split(key)
+                    val_metrics = self._validate(
+                        model, trainer, state, dataset, exp, step + 1, sub
+                    )
+                    its = (step + 1 - start_step) / (time.time() - t_start)
+                    line = " ".join(
+                        f"{k}={float(v):.4g}" for k, v in metrics.items()
+                    )
+                    exp.log(
+                        f"step {step + 1}: {line} "
+                        + " ".join(f"{k}={v:.4g}" for k, v in val_metrics.items())
+                        + f" it/s={its:.2f}"
+                    )
+                if (step + 1) % self.num_steps_per_save == 0 or step + 1 == self.num_steps:
+                    save_checkpoint(exp.ckpt_dir, step + 1, state)
+        finally:
+            if dash_ctx:
+                dash_ctx.__exit__(None, None, None)
+
+        key, sub = jax.random.split(key)
+        export = self.export(model, trainer, state, sub)
+        if export is not None:
+            save_export(exp.base_dir / "export.npz", export)
+            exp.log("export written: export.npz")
+        out = {k: float(v) for k, v in metrics.items()}
+        out.update(val_metrics)
+        out["output_dir"] = str(exp.base_dir)
+        return out
+
+    # ---- validation (val-split metrics + image dumps, train.py:104-137) ----
+    def _val_split(self, dataset: Dataset) -> str:
+        for split in ("val", "test"):
+            try:
+                dataset.get_split(split)
+                return split
+            except Exception:
+                continue
+        return "train"
+
+    def _validate(self, model, trainer, state, dataset, exp, step, key) -> dict:
+        split = self._val_split(dataset)
+        cams, images, _ = dataset.get_split(split)
+        n = min(self.num_val_images, cams.shape[0])
+        if n == 0:
+            return {}
+        idx = jnp.asarray(np.linspace(0, cams.shape[0] - 1, n).astype(np.int32))
+        pred = self.val_render(model, trainer, state, cams[idx], key)
+        pred = np.asarray(pred)
+        vals = []
+        for i in range(n):
+            gt = np.asarray(images[np.asarray(idx)[i]])
+            p = np.clip(pred[i, ..., :3] + (1 - pred[i, ..., 3:]), 0, 1)
+            g = np.clip(gt[..., :3] * gt[..., 3:] + (1 - gt[..., 3:]), 0, 1)
+            vals.append(_psnr(p, g))
+            exp.dump_image(f"{split}/{step:06d}-{i}.png", p)
+            if step == self.num_steps_per_val:
+                exp.dump_image(f"{split}/gt-{i}.png", g)
+        return {"val_psnr": float(np.mean(vals))}
+
+
+# --- stage 1 ---------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class GeoSplatTrainTask(_TrainTaskBase):
+    """Stage-1 training task (tests/model/test_geosplat.py presets)."""
+
+    experiment_name: str = "geosplat"
     # model knobs (flat; mapped onto GeoSplatter)
     resolution: int = 96
     light_resolution: int = 512
@@ -62,7 +293,7 @@ class GeoSplatTrainTask:
     tile_capacity: int = 768
     backend: str = "auto"
 
-    def build(self):
+    def build(self, dataset, key):
         from ..models.geosplat import GeoSplatter
         from ..train.geosplat_trainer import GeoSplatTrainer, GeoSplatTrainerConfig
 
@@ -82,34 +313,291 @@ class GeoSplatTrainTask:
         )
         return model, trainer
 
-    def run(self) -> dict:
-        model, trainer = self.build()
-        dataset = Dataset(self.dataset_path, scale_factor=self.scale_factor)
-        exp = Experiment(self.experiment_name).setup()
-        (exp.base_dir / "task.py").write_text(dump_dataclass_as_str(self))
+    def init_state(self, model, trainer, key):
+        return trainer.init_state(model.init(key))
 
-        key = jax.random.key(self.seed)
-        params = model.init(key)
-        state = trainer.init_state(params)
-        it = dataset.iter_batches("train", self.batch_size, seed=self.seed)
+    def step_fn(self, model, trainer, state, cams, gt, key, step):
+        return trainer.train_step(
+            state, cams, gt, key, jnp.asarray(step, jnp.float32),
+            sampling=trainer.sampling_at(step),
+        )
 
-        t_start = time.time()
-        metrics = {}
-        for step in range(self.num_steps):
-            cams, gt, _ = next(it)
-            key, sub = jax.random.split(key)
-            state, metrics = trainer.train_step(
-                state, cams, gt, sub, jnp.asarray(step, jnp.float32),
-                sampling=trainer.sampling_at(step),
+    def val_render(self, model, trainer, state, cams, key):
+        rgba, _, _ = model.render(
+            state["params"], cams, key, quality="exact"
+        )
+        rgb = gimages.rgb2srgb(jnp.clip(rgba[..., :3], 0, 1)) * rgba[..., 3:]
+        return jnp.concatenate((rgb, rgba[..., 3:]), -1)
+
+    def export(self, model, trainer, state, key):
+        from ..models.geosplat_mc import export_stage1
+
+        return export_stage1(model, state["params"])
+
+
+# --- stage 2 ---------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class GeoSplatMCTrainTask(_TrainTaskBase):
+    """Stage-2 (MC shading) task; ``load`` = stage-1 output dir
+    (tests/model/test_geosplat_mc.py:20-176)."""
+
+    experiment_name: str = "geosplat-mc"
+    num_steps_per_val: int = 100
+    resolution: int = 96
+    scene_scale: float = 1.05
+    initial_guess: str = "hybrid"
+    tile_capacity: int = 768
+    num_samples_x: int = 8
+    backend: str = "auto"
+
+    def build(self, dataset, key):
+        from ..models.geosplat_mc import GeoSplatterMC
+        from ..train.geosplat_mc_trainer import (
+            GeoSplatMCTrainer, GeoSplatMCTrainerConfig,
+        )
+
+        model = GeoSplatterMC(
+            resolution=self.resolution,
+            scale=self.scene_scale,
+            initial_guess=self.initial_guess,
+            tile_capacity=self.tile_capacity,
+            num_samples_x=self.num_samples_x,
+            backend=self.backend,
+        )
+        trainer = GeoSplatMCTrainer(
+            GeoSplatMCTrainerConfig(
+                num_steps=self.num_steps, batch_size=self.batch_size
+            ),
+            model,
+        )
+        return model, trainer
+
+    def init_state(self, model, trainer, key):
+        if self.load is None:
+            raise ValueError("stage-2 requires --load <stage-1 output dir>")
+        export = load_export(find_export(self.load))
+        return trainer.init_state(model.init_from_stage1(export, key))
+
+    def step_fn(self, model, trainer, state, cams, gt, key, step):
+        return trainer.train_step(
+            state, cams, gt, key, jnp.asarray(step, jnp.float32)
+        )
+
+    def val_render(self, model, trainer, state, cams, key):
+        rgba, _, _ = model.render(state["params"], cams, key)
+        rgb = gimages.rgb2srgb(jnp.clip(rgba[..., :3], 0, 1)) * rgba[..., 3:]
+        return jnp.concatenate((rgb, rgba[..., 3:]), -1)
+
+    def export(self, model, trainer, state, key):
+        return model.export_model(state["params"], key)
+
+
+# --- stage 3 ---------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class GeoSplatDeferTrainTask(_TrainTaskBase):
+    """Stage-3 (deferred shading) task; ``load`` = stage-2 output dir
+    (tests/model/test_geosplat_defer.py presets)."""
+
+    experiment_name: str = "geosplat-defer"
+    num_steps: int = 100
+    num_steps_per_save: int = 100
+    num_steps_per_val: int = 50
+    resolution: int = 96
+    scene_scale: float = 1.05
+    tile_capacity: int = 768
+    num_samples_x: int = 8
+    backend: str = "auto"
+
+    def build(self, dataset, key):
+        from ..models.geosplat_defer import GeoSplatterDefer
+        from ..train.geosplat_defer_trainer import (
+            GeoSplatDeferTrainer, GeoSplatDeferTrainerConfig,
+        )
+
+        model = GeoSplatterDefer(
+            resolution=self.resolution,
+            scale=self.scene_scale,
+            tile_capacity=self.tile_capacity,
+            num_samples_x=self.num_samples_x,
+            backend=self.backend,
+        )
+        trainer = GeoSplatDeferTrainer(
+            GeoSplatDeferTrainerConfig(
+                num_steps=self.num_steps, batch_size=self.batch_size
+            ),
+            model,
+        )
+        return model, trainer
+
+    def _geometry(self, model):
+        if getattr(self, "_geom_cache", None) is None:
+            export = load_export(find_export(self.load))
+            self._geom_cache = (export, model.frozen_geometry(export))
+        return self._geom_cache
+
+    def init_state(self, model, trainer, key):
+        if self.load is None:
+            raise ValueError("stage-3 requires --load <stage-2 output dir>")
+        export, _ = self._geometry(model)
+        return trainer.init_state(model.init_from_stage2(export, key))
+
+    def step_fn(self, model, trainer, state, cams, gt, key, step):
+        _, geom = self._geometry(model)
+        return trainer.train_step(
+            state, geom, cams, gt, key, jnp.asarray(step, jnp.float32)
+        )
+
+    def val_render(self, model, trainer, state, cams, key):
+        _, geom = self._geometry(model)
+        rgba, _, _ = model.render(state["params"], geom, cams, key)
+        rgb = gimages.rgb2srgb(jnp.clip(rgba[..., :3], 0, 1)) * rgba[..., 3:]
+        return jnp.concatenate((rgb, rgba[..., 3:]), -1)
+
+    def export(self, model, trainer, state, key):
+        # stage-3 output = final params + frozen geometry (the eval surface)
+        export, geom = self._geometry(model)
+        return {"params": state["params"], "geometry": geom}
+
+
+# --- mesh-prior variant ----------------------------------------------------------
+
+
+@dataclasses.dataclass
+class GeoSplatPriorTrainTask(_TrainTaskBase):
+    """Mesh-prior variant; ``mesh_path`` = initial mesh OBJ/PLY
+    (tests/model/test_geosplat_prior.py:19-252)."""
+
+    experiment_name: str = "geosplat-prior"
+    mesh_path: Path = Path("mesh.obj")
+    scene_scale: float = 1.05
+    tile_capacity: int = 768
+    num_samples_x: int = 8
+    backend: str = "auto"
+
+    def _base_mesh(self):
+        if getattr(self, "_mesh_cache", None) is None:
+            from ..graphics.mesh import TriangleMesh
+            from ..graphics.mesh_io import load_mesh
+
+            data = load_mesh(self.mesh_path)
+            self._mesh_cache = TriangleMesh(
+                vertices=jnp.asarray(data["vertices"]),
+                indices=jnp.asarray(data["indices"]),
             )
-            if (step + 1) % self.num_steps_per_val == 0:
-                loss = float(metrics["loss"])
-                psnr = float(metrics["splat_psnr"])
-                its = (step + 1) / (time.time() - t_start)
-                exp.log(
-                    f"step {step + 1}: loss={loss:.4f} splat_psnr={psnr:.2f} "
-                    f"gaussians={int(metrics['num_gaussians'])} it/s={its:.2f}"
-                )
-            if (step + 1) % self.num_steps_per_save == 0 or step + 1 == self.num_steps:
-                save_checkpoint(exp.ckpt_dir, step + 1, state)
-        return {k: float(v) for k, v in metrics.items()}
+        return self._mesh_cache
+
+    def build(self, dataset, key):
+        from ..models.geosplat_prior import GeoSplatterPrior
+        from ..train.geosplat_prior_trainer import (
+            GeoSplatPriorTrainer, GeoSplatPriorTrainerConfig,
+        )
+
+        model = GeoSplatterPrior(
+            scale=self.scene_scale,
+            tile_capacity=self.tile_capacity,
+            num_samples_x=self.num_samples_x,
+            backend=self.backend,
+        )
+        trainer = GeoSplatPriorTrainer(
+            GeoSplatPriorTrainerConfig(
+                num_steps=self.num_steps, batch_size=self.batch_size
+            ),
+            model,
+        )
+        return model, trainer
+
+    def init_state(self, model, trainer, key):
+        return trainer.init_state(model.init(self._base_mesh(), key))
+
+    def step_fn(self, model, trainer, state, cams, gt, key, step):
+        return trainer.train_step(
+            state, self._base_mesh(), cams, gt, key,
+            jnp.asarray(step, jnp.float32),
+        )
+
+    def val_render(self, model, trainer, state, cams, key):
+        rgba, _, _ = model.render(state["params"], self._base_mesh(), cams, key)
+        rgb = gimages.rgb2srgb(jnp.clip(rgba[..., :3], 0, 1)) * rgba[..., 3:]
+        return jnp.concatenate((rgb, rgba[..., 3:]), -1)
+
+    def export(self, model, trainer, state, key):
+        return model.export_model(state["params"], self._base_mesh(), key)
+
+
+# --- vanilla 3DGS ----------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class GSplatTrainTask(_TrainTaskBase):
+    """Vanilla 3DGS/2DGS with the densify/cull schedule
+    (tests/model/test_gsplat.py presets)."""
+
+    experiment_name: str = "gsplat"
+    num_steps: int = 7000
+    batch_size: int = 1
+    num_steps_per_save: int = 2000
+    num_steps_per_val: int = 500
+    num_init_gaussians: int = 65536
+    sh_degree: int = 3
+    rasterize_mode: str = "classic"   # 'classic' | 'antialiased' | '2dgs'
+    tile_capacity: int = 1024
+    backend: str = "auto"
+
+    def build(self, dataset, key):
+        from ..models.gsplatter import GSplatter
+        from ..train.gsplat_trainer import GSplatTrainer, GSplatTrainerConfig
+
+        model = GSplatter(
+            sh_degree=self.sh_degree,
+            rasterize_mode=self.rasterize_mode,
+            tile_capacity=self.tile_capacity,
+            backend=self.backend,
+        )
+        trainer = GSplatTrainer(
+            GSplatTrainerConfig(
+                num_steps=self.num_steps, batch_size=self.batch_size
+            ),
+            model,
+            dataset_size=dataset.get_size("train"),
+        )
+        return model, trainer
+
+    def init_state(self, model, trainer, key):
+        from ..graphics.splats import Splats
+
+        splats = Splats.random(
+            key, self.num_init_gaussians, sh_degree=self.sh_degree,
+            random_scale=1.0,
+        )
+        return trainer.init_state(splats)
+
+    def step_fn(self, model, trainer, state, cams, gt, key, step):
+        return trainer.train_step(
+            state, cams, gt, key, trainer.max_sh_degree_at(step),
+            reg_weights=trainer.reg_weights_at(step),
+        )
+
+    def after_update(self, model, trainer, state, step, key, last_wh):
+        return trainer.after_update(state, step, key, last_wh)
+
+    def val_render(self, model, trainer, state, cams, key):
+        from ..train.gsplat_trainer import params_to_splats
+
+        splats = params_to_splats(state["params"])
+
+        def one(cam):
+            rgba, _ = model.render_rgba(splats, cam)
+            return rgba
+
+        outs = [one(cams[i]) for i in range(cams.shape[0])]
+        return jnp.stack(outs)
+
+    def export(self, model, trainer, state, key):
+        from ..train.gsplat_trainer import params_to_splats
+
+        splats = params_to_splats(state["params"])
+        return {k: v for k, v in state["params"].items()}

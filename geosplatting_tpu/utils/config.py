@@ -65,22 +65,43 @@ def load_dataclass(script_path: Path, name: str = "task") -> Any:
 # --- dataclass CLI ------------------------------------------------------------
 
 
+def _resolve_field_type(cls, f: dataclasses.Field):
+    """Concrete python type for a dataclass field — resolves string
+    annotations (PEP 563) and unwraps ``X | None`` unions."""
+    import typing
+
+    t = f.type
+    if isinstance(t, str):
+        try:
+            t = typing.get_type_hints(cls).get(f.name, str)
+        except Exception:
+            return str
+    origin = typing.get_origin(t)
+    if origin is typing.Union or str(origin) == "<class 'types.UnionType'>":
+        args = [a for a in typing.get_args(t) if a is not type(None)]
+        t = args[0] if args else str
+    return t if isinstance(t, type) else str
+
+
 def _add_dataclass_args(parser: argparse.ArgumentParser, cls, prefix: str = ""):
+    from pathlib import Path as _Path
+
     for f in dataclasses.fields(cls):
         name = f"{prefix}{f.name}"
-        if dataclasses.is_dataclass(f.type) or (
-            isinstance(f.default, object) and dataclasses.is_dataclass(type(f.default))
-            and not isinstance(f.default, type)
+        if dataclasses.is_dataclass(type(f.default)) and not isinstance(
+            f.default, type
         ):
-            sub = type(f.default) if not isinstance(f.type, type) else f.type
-            if dataclasses.is_dataclass(sub):
-                _add_dataclass_args(parser, sub, prefix=f"{name}.")
-                continue
-        typ = f.type if isinstance(f.type, type) else str
-        if typ is bool:
+            _add_dataclass_args(parser, type(f.default), prefix=f"{name}.")
+            continue
+        typ = _resolve_field_type(cls, f)
+        if dataclasses.is_dataclass(typ):
+            _add_dataclass_args(parser, typ, prefix=f"{name}.")
+        elif typ is bool:
             parser.add_argument(f"--{name}", type=lambda s: s.lower() in ("1", "true", "yes"))
         elif typ in (int, float, str):
             parser.add_argument(f"--{name}", type=typ)
+        elif typ is _Path:
+            parser.add_argument(f"--{name}", type=_Path)
         else:
             parser.add_argument(f"--{name}", type=str)
 

@@ -13,7 +13,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from geosplatting_tpu.engine.train_task import GeoSplatTrainTask
+from geosplatting_tpu.engine.train_task import GeoSplatTrainTask, ResumeTask
 from geosplatting_tpu.utils.config import run_task_group
 
 
@@ -50,7 +50,11 @@ SHINY["sb-lego_highres"] = preset(
     num_steps=1500, batch_size=8,
 )
 
-TASKS = {**S4R, **TENSOIR, **SHINY}
+TASKS = {
+    **S4R, **TENSOIR, **SHINY,
+    "custom": GeoSplatTrainTask(),
+    "resume": ResumeTask(),
+}
 
 if __name__ == "__main__":
     run_task_group(TASKS)

@@ -20,6 +20,13 @@ try:
 except Exception:
     pass
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: the heavy train-step compiles (3-10 min on CPU
+# XLA) are identical across runs — cache them so repeat suite runs are fast
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_geosplatting")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
 
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, got: " + str(jax.devices()[:1])
