@@ -120,6 +120,43 @@ class BlenderDataparser:
 
 
 @dataclasses.dataclass(frozen=True)
+class DepthBlenderDataparser:
+    """Depth-supervision blender variant (blender_dataparser.py:208-262):
+    images become [H, W, 2] = (metric depth = red * 4, alpha); meta carries
+    the GT mesh path when ``gt.ply`` exists. Selected explicitly (the layout
+    is indistinguishable from Blender RGB; the reference selects it via
+    DepthSynthesisDataset, data/dataset.py:344)."""
+
+    def parse(self, path: Path, split: str) -> ParsedSplit:
+        meta, c2w = _load_transforms(path, split)
+        c2w = c2w.copy()
+        c2w[:, :, 3] *= 2 / 3
+        imgs = np.stack([
+            load_float32_image(path / (f_["file_path"] + ".png"))
+            for f_ in meta["frames"]
+        ])
+        if imgs.shape[-1] < 4:
+            alpha = np.ones_like(imgs[..., :1])
+        else:
+            alpha = imgs[..., 3:4]
+        depth2 = np.concatenate((imgs[..., :1] * 4.0, alpha), axis=-1)
+        gt_mesh = path / "gt.ply"
+        return ParsedSplit(
+            c2w=c2w,
+            focal=_focal(meta, IMAGE_WH),
+            width=IMAGE_WH, height=IMAGE_WH, near=4 / 3, far=4.0,
+            image_paths=[],
+            images=depth2.astype(np.float32),
+            meta={"gt_mesh": gt_mesh if gt_mesh.exists() else None,
+                  "mesh_scale": 2 / 3},
+        )
+
+    @staticmethod
+    def recognize(path: Path) -> bool:
+        return False  # explicit selection only (see docstring)
+
+
+@dataclasses.dataclass(frozen=True)
 class MaskedBlenderDataparser:
     """Blender layout, RGBA kept as mask (blender_dataparser.py:99)."""
 
