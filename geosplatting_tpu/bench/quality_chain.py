@@ -1,0 +1,224 @@
+"""Run the full 3-stage chain on the synthetic PBR scene and score it.
+
+This is the quality counterpart of the perf bench: it produces tracked
+NVS / relight / albedo PSNR numbers (the reference's eval metric set,
+tests/model/test_geosplat_defer.py:407-493) without needing any dataset.
+Used by ``scripts/quality_bench.py`` (production scale, TPU) and
+``tests/test_quality.py`` (small scale, regression thresholds).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.eval_tasks import estimate_albedo_scaling, image_metrics
+from ..graphics import images as gimages
+from ..models.geosplat import GeoSplatter
+from ..models.geosplat_defer import GeoSplatterDefer
+from ..models.geosplat_mc import GeoSplatterMC, export_stage1
+from ..train.geosplat_defer_trainer import (
+    GeoSplatDeferTrainer, GeoSplatDeferTrainerConfig,
+)
+from ..train.geosplat_mc_trainer import GeoSplatMCTrainer, GeoSplatMCTrainerConfig
+from ..train.geosplat_trainer import GeoSplatTrainer, GeoSplatTrainerConfig
+from . import quality as q
+
+
+def _composite(rgba: jnp.ndarray, bg: float = 1.0) -> jnp.ndarray:
+    return jnp.clip(
+        rgba[..., :3] + (1.0 - rgba[..., 3:]) * bg, 0.0, 1.0
+    )
+
+
+def run_quality_chain(
+    *,
+    img_res: int = 128,
+    grid_res: int = 48,
+    n_train: int = 24,
+    n_test: int = 4,
+    batch: int = 4,
+    s1_steps: int = 200,
+    s2_steps: int = 100,
+    s3_steps: int = 50,
+    gt_spp_x: int = 16,
+    train_spp_x: int = 4,
+    light_resolution: int = 128,
+    tile_capacity: int = 512,
+    tile_chunk: int = 4,
+    seed: int = 0,
+    env_quality: str = "fast",
+    fast_metrics: bool = True,
+    log=lambda msg: None,
+) -> dict[str, Any]:
+    key = jax.random.key(seed)
+    rng = np.random.default_rng(seed)
+
+    train_cams = q.make_cameras("train", n_train, width=img_res, height=img_res)
+    test_cams = q.make_cameras("test", n_test, width=img_res, height=img_res)
+    env_train = q.make_envmap(kind="train")
+    env_relight = q.make_envmap(kind="relight")
+
+    log("rendering GT views...")
+    gt_train = q.render_gt_views(train_cams, env_train, jax.random.key(7), gt_spp_x)
+    gt_test = q.render_gt_views(test_cams, env_train, jax.random.key(8), gt_spp_x)
+    gt_relit = q.render_gt_views(test_cams, env_relight, jax.random.key(9), gt_spp_x)
+    gt_albedo, gt_rough = q.gt_material_maps(test_cams)
+
+    def batches(n_steps):
+        for s in range(n_steps):
+            yield s, jnp.asarray(rng.choice(n_train, size=batch, replace=False))
+
+    # ---- stage 1 ----------------------------------------------------------
+    log("stage 1...")
+    s1 = GeoSplatter(
+        resolution=grid_res, light_resolution=light_resolution, scale=1.0,
+        tile_capacity=tile_capacity, tile_chunk=tile_chunk,
+        env_quality=env_quality,
+    )
+    p1 = s1.init(jax.random.key(1))
+    grid = s1.make_grid()
+    p1["sdf"] = jnp.linalg.norm(grid.base_vertices(), axis=-1) - 0.45
+    t1 = GeoSplatTrainer(
+        GeoSplatTrainerConfig(
+            num_steps=s1_steps, batch_size=batch,
+            vertex_sample_warmup=min(50, max(s1_steps // 8, 2)),
+        ),
+        s1,
+    )
+    st1 = t1.init_state(p1)
+    for step, idx in batches(s1_steps):
+        key, sub = jax.random.split(key)
+        st1, m1 = t1.train_step(
+            st1, train_cams[idx], gt_train[idx], sub,
+            jnp.asarray(step, jnp.float32), sampling=t1.sampling_at(step),
+        )
+        if step % 50 == 0:
+            log(f"  s1 step {step}: loss={float(m1['loss']):.4f} "
+                f"psnr={float(m1['splat_psnr']):.2f}")
+    export1 = export_stage1(s1, st1["params"])
+    s1_psnr = float(m1["splat_psnr"])
+
+    # ---- stage 2 ----------------------------------------------------------
+    log("stage 2...")
+    s2 = GeoSplatterMC(
+        resolution=grid_res, scale=1.0, tile_capacity=tile_capacity,
+        tile_chunk=tile_chunk, num_samples_x=train_spp_x,
+    )
+    p2 = s2.init_from_stage1(export1, jax.random.key(2))
+    t2 = GeoSplatMCTrainer(
+        GeoSplatMCTrainerConfig(
+            num_steps=s2_steps, batch_size=batch,
+            geometry_warm_up=min(50, max(s2_steps // 4, 2)),
+        ),
+        s2,
+    )
+    st2 = t2.init_state(p2)
+    for step, idx in batches(s2_steps):
+        key, sub = jax.random.split(key)
+        st2, m2 = t2.train_step(
+            st2, train_cams[idx], gt_train[idx], sub,
+            jnp.asarray(step, jnp.float32),
+        )
+        if step % 25 == 0:
+            log(f"  s2 step {step}: loss={float(m2['loss']):.4f} "
+                f"psnr={float(m2['splat_psnr']):.2f}")
+    export2 = s2.export_model(st2["params"], jax.random.key(3))
+
+    # ---- stage 3 ----------------------------------------------------------
+    log("stage 3...")
+    s3 = GeoSplatterDefer(
+        resolution=grid_res, scale=1.0, tile_capacity=tile_capacity,
+        tile_chunk=tile_chunk, num_samples_x=train_spp_x,
+    )
+    p3 = s3.init_from_stage2(export2, jax.random.key(4))
+    geom = s3.frozen_geometry(export2)
+    t3 = GeoSplatDeferTrainer(
+        GeoSplatDeferTrainerConfig(num_steps=s3_steps, batch_size=batch), s3
+    )
+    st3 = t3.init_state(p3)
+    for step, idx in batches(s3_steps):
+        key, sub = jax.random.split(key)
+        st3, m3 = t3.train_step(
+            st3, geom, train_cams[idx], gt_train[idx], sub,
+            jnp.asarray(step, jnp.float32),
+        )
+        if step % 25 == 0:
+            log(f"  s3 step {step}: loss={float(m3['loss']):.4f} "
+                f"psnr={float(m3['splat_psnr']):.2f}")
+    params3 = st3["params"]
+
+    # ---- evaluation (test_geosplat_defer.py:407-493 metric path) ----------
+    results: dict[str, Any] = {"s1_train_psnr": s1_psnr}
+    eval_spp = max(gt_spp_x // 2, 8)
+
+    log("eval: NVS...")
+    vals = []
+    for i in range(n_test):
+        rgba, _, _ = s3.render(
+            params3, geom, test_cams[jnp.array([i])], jax.random.key(20 + i),
+            num_samples_override=eval_spp,
+        )
+        pred = _composite(
+            jnp.concatenate(
+                [gimages.rgb2srgb(jnp.clip(rgba[0, ..., :3], 0, 1))
+                 * rgba[0, ..., 3:], rgba[0, ..., 3:]], -1
+            )
+        )
+        gt = _composite(gt_test[i])
+        vals.append(image_metrics(pred, gt, fast_metrics))
+    results["nvs_psnr"] = float(np.mean([v["psnr"] for v in vals]))
+
+    log("eval: albedo + roughness...")
+    scale = estimate_albedo_scaling(s3, params3, test_cams, gt_albedo)
+    results["albedo_scaling"] = np.asarray(scale).tolist()
+    a_vals, r_vals = [], []
+    for i in range(n_test):
+        kd_rgba = s3.render_attribute(
+            params3, test_cams[jnp.array([i])], "kd", albedo_scaling=scale
+        )[0]
+        pred_a = _composite(
+            jnp.concatenate(
+                [gimages.rgb2srgb(jnp.clip(kd_rgba[..., :3], 0, 1))
+                 * kd_rgba[..., 3:], kd_rgba[..., 3:]], -1
+            )
+        )
+        gt_a = _composite(gt_albedo[i])
+        a_vals.append(image_metrics(pred_a, gt_a, fast_metrics))
+        ks_rgba = s3.render_attribute(
+            params3, test_cams[jnp.array([i])], "ks", geometry=geom
+        )[0]
+        mask = gt_rough[i][..., 1] > 0.5
+        r_mse = float(
+            ((ks_rgba[..., 0] - gt_rough[i][..., 0]) ** 2 * mask).sum()
+            / np.maximum(mask.sum(), 1)
+        )
+        r_vals.append(r_mse)
+    results["albedo_psnr"] = float(np.mean([v["psnr"] for v in a_vals]))
+    results["roughness_mse"] = float(np.mean(r_vals))
+
+    log("eval: relighting...")
+    rl_vals = []
+    for i in range(n_test):
+        rgba, _, _ = s3.render(
+            params3, geom, test_cams[jnp.array([i])], jax.random.key(40 + i),
+            relight_envmap=env_relight, albedo_scaling=scale,
+            num_samples_override=eval_spp,
+        )
+        pred = _composite(
+            jnp.concatenate(
+                [gimages.rgb2srgb(jnp.clip(rgba[0, ..., :3], 0, 1))
+                 * rgba[0, ..., 3:], rgba[0, ..., 3:]], -1
+            )
+        )
+        gt = _composite(gt_relit[i])
+        rl_vals.append(image_metrics(pred, gt, fast_metrics))
+    results["relight_psnr"] = float(np.mean([v["psnr"] for v in rl_vals]))
+
+    if not fast_metrics:
+        results["nvs_ssim"] = float(np.mean([v["ssim"] for v in vals]))
+        results["relight_ssim"] = float(np.mean([v["ssim"] for v in rl_vals]))
+        results["albedo_ssim"] = float(np.mean([v["ssim"] for v in a_vals]))
+    return results
