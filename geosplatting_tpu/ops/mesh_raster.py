@@ -233,3 +233,106 @@ def interpolate(
     v = out.bary[..., 1:2]
     val = a0 * u + a1 * v + a2 * (1.0 - u - v)
     return jnp.where((out.tri_id >= 0)[..., None], val, 0.0)
+
+
+def antialias(
+    color: jnp.ndarray,        # [H, W, C] rendered colors (bg already blended)
+    mesh: TriangleMesh,
+    camera: Cameras,
+    rast: RasterOut,
+) -> jnp.ndarray:
+    """Analytic edge antialiasing — the ``dr.antialias`` analog
+    (_triangle_mesh.py:553-556).
+
+    At every horizontally/vertically adjacent pixel pair whose triangle ids
+    differ (a silhouette or occlusion boundary), find where the nearer
+    triangle's screen-space edge crosses the segment between the two pixel
+    centers and blend the colors by the crossing position. The blend weight
+    is differentiable in the projected vertex positions, which is the whole
+    point: hard rasterization has zero gradient through coverage, and this
+    term restores it for mesh-silhouette optimization.
+
+    Approximation notes vs nvdiffrast: all three edges of the nearer
+    triangle are tested and the crossing closest to the midpoint is used
+    (nvdiffrast picks the true silhouette edge via adjacency); pairs whose
+    edges don't cross the segment are left unblended.
+    """
+    xy, _ = _project_vertices(mesh, camera)            # [V, 2]
+    h, w = rast.tri_id.shape
+    tri = rast.tri_id
+
+    def edge_blend(axis: int, img: jnp.ndarray) -> jnp.ndarray:
+        # pixel pair (p, q) = (i, i+1) along `axis`
+        sl_p = (slice(None), slice(0, -1)) if axis == 1 else (slice(0, -1),)
+        sl_q = (slice(None), slice(1, None)) if axis == 1 else (slice(1, None),)
+        t_p, t_q = tri[sl_p], tri[sl_q]
+        d_p, d_q = rast.depth[sl_p], rast.depth[sl_q]
+        boundary = t_p != t_q
+        # nearer triangle owns the edge (background depth 0 counts as far)
+        dp_eff = jnp.where(t_p >= 0, d_p, jnp.inf)
+        dq_eff = jnp.where(t_q >= 0, d_q, jnp.inf)
+        p_nearer = dp_eff <= dq_eff
+        own = jnp.where(p_nearer, t_p, t_q)
+        own = jnp.maximum(own, 0)
+        fv = mesh.indices[own]                          # [..., 3]
+        v0, v1, v2 = xy[fv[..., 0]], xy[fv[..., 1]], xy[fv[..., 2]]
+
+        # pixel-center coordinates of p; q is +1 along `axis`
+        ys, xs = jnp.meshgrid(
+            jnp.arange(h, dtype=jnp.float32) + 0.5,
+            jnp.arange(w, dtype=jnp.float32) + 0.5, indexing="ij",
+        )
+        px, py = xs[sl_p], ys[sl_p]
+        # crossing parameter t in [0, 1] along p->q for each triangle edge
+        coord = 0 if axis == 1 else 1        # moving coordinate
+        fixed = 1 - coord
+        pf = py if axis == 1 else px         # fixed coordinate value
+        pm = px if axis == 1 else py         # moving coordinate value
+
+        def crossing(a, b):
+            # edge a->b crossing the line fixed-coord == pf. Only edges
+            # steeper along the fixed axis blend in this pass (the other
+            # pass owns shallow edges) — otherwise slanted edges would be
+            # corrected twice.
+            af, bf = a[..., fixed], b[..., fixed]
+            am, bm = a[..., coord], b[..., coord]
+            denom = bf - af
+            steep = jnp.abs(denom) >= jnp.abs(bm - am)
+            s = (pf - af) / jnp.where(jnp.abs(denom) > 1e-8, denom, 1e-8)
+            hits = (s >= 0.0) & (s <= 1.0) & (jnp.abs(denom) > 1e-8) & steep
+            x = am + s * (bm - am)
+            t = x - pm                        # 0 at p-center, 1 at q-center
+            return jnp.where(hits & (t >= 0.0) & (t <= 1.0), t, jnp.nan)
+
+        ts = jnp.stack(
+            [crossing(v0, v1), crossing(v1, v2), crossing(v2, v0)], axis=0
+        )
+        # the crossing closest to the pair midpoint wins
+        score = jnp.where(jnp.isnan(ts), jnp.inf, jnp.abs(ts - 0.5))
+        pick = jnp.argmin(score, axis=0)
+        t_edge = jnp.take_along_axis(ts, pick[None], axis=0)[0]
+        has_edge = boundary & jnp.isfinite(t_edge)
+        t_edge = jnp.where(has_edge, t_edge, 0.5)
+
+        # coverage transfer: the pixel whose half-segment the edge crosses
+        # mixes in the neighbor's color by the encroached fraction
+        # (nvdiffrast's alpha in [-0.5, 0.5])
+        c_p, c_q = img[sl_p], img[sl_q]
+        w_pq = jnp.clip(0.5 - t_edge, -0.5, 0.5)[..., None]
+        blend_p = jnp.where(
+            has_edge[..., None] & (w_pq > 0), w_pq * (c_q - c_p), 0.0
+        )
+        blend_q = jnp.where(
+            has_edge[..., None] & (w_pq < 0), (-w_pq) * (c_p - c_q), 0.0
+        )
+        if axis == 1:
+            out = img + jnp.pad(blend_p, ((0, 0), (0, 1), (0, 0))) \
+                + jnp.pad(blend_q, ((0, 0), (1, 0), (0, 0)))
+        else:
+            out = img + jnp.pad(blend_p, ((0, 1), (0, 0), (0, 0))) \
+                + jnp.pad(blend_q, ((1, 0), (0, 0), (0, 0)))
+        return out
+
+    out = edge_blend(1, color)
+    out = edge_blend(0, out)
+    return out

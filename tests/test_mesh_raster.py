@@ -91,3 +91,54 @@ def test_interpolate_gradients():
     g = jax.grad(loss)(mesh.vertices)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_antialias_edge_gradients():
+    """The dr.antialias analog: silhouette pixels blend, and coverage
+    gradients w.r.t. vertex positions appear (hard rasterization has none)
+    and match finite differences of the blended total."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from geosplatting_tpu.graphics.cameras import Cameras
+    from geosplatting_tpu.graphics.mesh import TriangleMesh
+    from geosplatting_tpu.ops.mesh_raster import antialias, rasterize_mesh
+
+    cam = Cameras.from_lookat(
+        jnp.array([[0.15, 0.3, 2.0]]), jnp.zeros((1, 3)), width=32, height=32,
+    )[0]
+
+    def render_total(s):
+        # scale the triangle: d(coverage)/ds = 2 * screen_area, a nonzero
+        # analytic target (translation would be coverage-invariant)
+        verts = jnp.array(
+            [[-0.6, -0.6, 0.0], [0.6, -0.6, 0.0], [0.0, 0.7, 0.0]]
+        ) * (1.0 + s)
+        mesh = TriangleMesh(
+            vertices=verts, indices=jnp.array([[0, 1, 2]], jnp.int32)
+        )
+        rast = rasterize_mesh(mesh, cam, tile_capacity=16)
+        color = jnp.where(
+            (rast.tri_id >= 0)[..., None], jnp.ones(3), jnp.zeros(3)
+        )
+        aa = antialias(color, mesh, cam, rast)
+        return jnp.sum(aa), (color, aa)
+
+    total, (color, aa) = render_total(0.0)
+    # blended values strictly between fg and bg exist on the silhouette
+    vals = np.asarray(aa[..., 0])
+    assert ((vals > 0.05) & (vals < 0.95)).sum() > 5
+
+    grad = float(jax.grad(lambda s: render_total(s)[0])(0.0))
+    # hard rasterization alone would give exactly zero
+    assert abs(grad) > 1.0
+
+    # analytic: hard coverage (pixels) ~ screen area; d/ds = 2A per channel
+    area_px = float(np.asarray(color[..., 0]).sum())
+    target = 2.0 * area_px * 3.0
+    assert abs(grad - target) < 0.4 * target, (grad, target)
+
+    eps = 0.01
+    fd = (float(render_total(eps)[0]) - float(render_total(-eps)[0])) / (2 * eps)
+    assert abs(grad - fd) < 0.5 * max(abs(fd), 1.0), (grad, fd)
