@@ -139,6 +139,11 @@ def run_task_group(tasks: dict[str, Any], argv: list[str] | None = None) -> Any:
     parser.add_argument("--profiling", type=str, default=None)
     parser.add_argument("--trace", type=str, default=None)
     parser.add_argument("--auto-breakpoint", action="store_true")
+    # Task.detach/join parity (engine/task.py:136-143): run the task in a
+    # detached subprocess (log to --detach-log), or bound the run time
+    parser.add_argument("--detach", action="store_true")
+    parser.add_argument("--detach-log", type=str, default="task-detached.log")
+    parser.add_argument("--join-timeout", type=float, default=None)
     subs = parser.add_subparsers(dest="command", required=True)
     for name, task in tasks.items():
         sp = subs.add_parser(name)
@@ -148,7 +153,38 @@ def run_task_group(tasks: dict[str, Any], argv: list[str] | None = None) -> Any:
     profiling = args.pop("profiling")
     trace = args.pop("trace")
     auto_bp = args.pop("auto_breakpoint")
+    detach = args.pop("detach")
+    detach_log = args.pop("detach_log")
+    join_timeout = args.pop("join_timeout")
     task = _apply_overrides(tasks[command], args)
+
+    if detach:
+        import subprocess
+
+        child_argv = [a for a in argv if a != "--detach"]
+        with open(detach_log, "ab") as log:
+            proc = subprocess.Popen(
+                [sys.executable, sys.argv[0]] + child_argv,
+                stdout=log, stderr=log, start_new_session=True,
+            )
+        print(f"detached as pid {proc.pid} (log: {detach_log})")
+        return proc.pid
+    if join_timeout is not None:
+        import subprocess
+
+        drop = ("--join-timeout", str(join_timeout))
+        child_argv = [
+            a for i, a in enumerate(argv)
+            if a not in drop and (i == 0 or argv[i - 1] != "--join-timeout")
+        ]
+        proc = subprocess.Popen([sys.executable, sys.argv[0]] + child_argv)
+        try:
+            return proc.wait(timeout=join_timeout)
+        except subprocess.TimeoutExpired:
+            proc.terminate()
+            raise TimeoutError(
+                f"task exceeded --join-timeout {join_timeout}s and was terminated"
+            )
 
     def _run():
         if trace is not None:
