@@ -28,12 +28,22 @@ from .experiment import Experiment
 from .stage_io import find_export, load_export, save_export
 
 
+def _mask_empty(state: Any) -> Any:
+    """Orbax refuses zero-size arrays (e.g. shs at sh_degree 0) — swap them
+    for a 1-element placeholder; the abstract state restores the shape."""
+    return jax.tree.map(
+        lambda x: np.zeros((1,), np.float32)
+        if hasattr(x, "size") and x.size == 0 else x,
+        state,
+    )
+
+
 def save_checkpoint(ckpt_dir: Path, step: int, state: Any) -> None:
     import orbax.checkpoint as ocp
 
     path = (ckpt_dir / f"{step}").absolute()
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state, force=True)
+        ckptr.save(path, _mask_empty(state), force=True)
 
 
 def load_checkpoint(ckpt_dir: Path, abstract_state: Any, step: int | None = None) -> tuple[Any, int]:
@@ -44,7 +54,14 @@ def load_checkpoint(ckpt_dir: Path, abstract_state: Any, step: int | None = None
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
     step = steps[-1] if step is None else step
     with ocp.StandardCheckpointer() as ckptr:
-        state = ckptr.restore((Path(ckpt_dir) / f"{step}").absolute(), abstract_state)
+        state = ckptr.restore(
+            (Path(ckpt_dir) / f"{step}").absolute(), _mask_empty(abstract_state)
+        )
+    state = jax.tree.map(
+        lambda restored, ab: jnp.zeros(ab.shape, ab.dtype)
+        if hasattr(ab, "size") and ab.size == 0 else restored,
+        state, abstract_state,
+    )
     return state, step
 
 

@@ -599,50 +599,65 @@ def shade_splitsum(
     tile_capacity: int = 1024,
     pairs_per_gaussian: int = 6,
     pairs_budget: int | None = None,
+    chunk_size: int = 128,
     tile_chunk: int = 8,
     backend: str = "auto",
     env_quality: str = "fast",   # 'fast' (nearest env + analytic FG) | 'exact'
+    checkpoint_shading: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """RenderableAttrs.splat (geosplat.py:53-132): per-Gaussian split-sum GGX
     radiance, antialiased rasterization, tone mapping.
 
     Returns ([H, W, 4] rgba, pair-budget info {total_pairs, max_pairs}) —
     the info lets trainers observe silent pair truncation (rasterize drops
-    pairs beyond max_pairs = pairs_per_gaussian * N)."""
-    camera_pos = camera.c2w[:, 3]
-    wo = gmath.safe_normalize(camera_pos - splats.means)
-    opacities = jax.nn.sigmoid(splats.opacities[:, 0])
-    if culling:
-        front = jnp.sum(attrs.normals * wo, -1) > 0.0
-        opacities = jnp.where(jax.lax.stop_gradient(front), opacities, 0.0)
+    pairs beyond max_pairs = pairs_per_gaussian * N).
 
-    roughness = attrs.ks[:, 0:1] * (1 - min_roughness) + min_roughness
-    metallic = attrs.ks[:, 1:2] * max_metallic
-    specular = (1.0 - metallic) * 0.04 + attrs.kd * metallic
-    diffuse = attrs.kd * (1.0 - metallic)
+    ``checkpoint_shading`` rematerializes only the per-Gaussian shading
+    (cheap: one env gather + arithmetic) in the backward while the
+    rasterizer's custom-vjp residuals stay saved — recomputing the whole
+    rasterizer forward per camera (binning sorts + composite kernel) costs
+    far more than storing its ~100 MB of residuals."""
 
-    n_dot_v = jnp.clip(jnp.sum(attrs.normals * wo, -1, keepdims=True), 1e-6, None)
-    fast = env_quality == "fast"
-    fg = (
-        cm.fg_analytic(n_dot_v, roughness) if fast
-        else cm.sample_fg_lut(n_dot_v, roughness)
-    )  # [N, 2]
-    inv_wi = 2.0 * jnp.sum(wo * attrs.normals, -1, keepdims=True) * attrs.normals - wo
-    l_diff, l_spec = cm.sample_splitsum(
-        env_base, env_mips, attrs.normals, inv_wi, roughness,
-        with_diffuse=(mode == "diffuse") or not fast,
-        filter_mode="nearest" if fast else "bilinear",
-        mip_filter="nearest" if fast else "trilinear",
-    )
-    reflectance = specular * fg[:, 0:1] + fg[:, 1:2]
-    if mode == "pbr":
-        colors = diffuse + l_spec * reflectance
-    elif mode == "diffuse":
-        colors = l_diff * diffuse
-    elif mode == "specular":
-        colors = l_spec * reflectance
-    else:
-        raise ValueError(mode)
+    def shade(splats, attrs, env_base, env_mips, exposure):
+        camera_pos = camera.c2w[:, 3]
+        wo = gmath.safe_normalize(camera_pos - splats.means)
+        opacities = jax.nn.sigmoid(splats.opacities[:, 0])
+        if culling:
+            front = jnp.sum(attrs.normals * wo, -1) > 0.0
+            opacities = jnp.where(jax.lax.stop_gradient(front), opacities, 0.0)
+
+        roughness = attrs.ks[:, 0:1] * (1 - min_roughness) + min_roughness
+        metallic = attrs.ks[:, 1:2] * max_metallic
+        specular = (1.0 - metallic) * 0.04 + attrs.kd * metallic
+        diffuse = attrs.kd * (1.0 - metallic)
+
+        n_dot_v = jnp.clip(jnp.sum(attrs.normals * wo, -1, keepdims=True), 1e-6, None)
+        fast = env_quality == "fast"
+        fg = (
+            cm.fg_analytic(n_dot_v, roughness) if fast
+            else cm.sample_fg_lut(n_dot_v, roughness)
+        )  # [N, 2]
+        inv_wi = 2.0 * jnp.sum(wo * attrs.normals, -1, keepdims=True) * attrs.normals - wo
+        l_diff, l_spec = cm.sample_splitsum(
+            env_base, env_mips, attrs.normals, inv_wi, roughness,
+            with_diffuse=(mode == "diffuse") or not fast,
+            filter_mode="nearest" if fast else "bilinear",
+            mip_filter="nearest" if fast else "trilinear",
+        )
+        reflectance = specular * fg[:, 0:1] + fg[:, 1:2]
+        if mode == "pbr":
+            colors = diffuse + l_spec * reflectance
+        elif mode == "diffuse":
+            colors = l_diff * diffuse
+        elif mode == "specular":
+            colors = l_spec * reflectance
+        else:
+            raise ValueError(mode)
+        return colors, opacities
+
+    if checkpoint_shading:
+        shade = jax.checkpoint(shade)
+    colors, opacities = shade(splats, attrs, env_base, env_mips, exposure)
 
     render, alpha, info = rasterize(
         splats.means,
@@ -658,6 +673,7 @@ def shade_splitsum(
         tile_capacity=tile_capacity,
         pairs_per_gaussian=pairs_per_gaussian,
         max_pairs_override=pairs_budget,
+        chunk_size=chunk_size,
         tile_chunk=tile_chunk,
         backend=backend,
     )
@@ -709,6 +725,8 @@ class GeoSplatter:
     field_eval_chunk: int = 262144
     pairs_per_gaussian: int = 3
     pairs_budget: int | None = None   # absolute screen-pair cap (see pair_fill)
+    remat_mode: str = "shading"       # 'shading' (fast) | 'full' (low-memory)
+    chunk_size: int = 128             # pair-kernel chunk rows
     tile_chunk: int = 8
     env_num_samples: int = 64
     prefilter_method: str = "conv"   # 'conv' (fast, training) | 'sampled'
@@ -838,11 +856,13 @@ class GeoSplatter:
             reg = reg + w["occ"] * jnp.abs(attrs.occ).mean()
         reg = reg + light_reg * w["light"]
 
-        # checkpoint: without it the scan over cameras saves [B, N, ...]
-        # per-camera shading residuals (with massive lane padding for
-        # trailing dim 3) and blows HBM; recomputing shading in the backward
-        # is far cheaper than storing it
-        @jax.checkpoint
+        # remat policy: the per-camera [B, N, ...] shading residuals (massive
+        # lane padding for trailing dim 3) must NOT be saved across the
+        # camera scan — but the rasterizer's custom-vjp residuals should be:
+        # re-running binning sorts + the composite kernel per camera in the
+        # backward costs ~2x the whole rasterizer ('shading' mode saves them
+        # and rematerializes only the cheap shading; 'full' is the fallback
+        # if residual memory is tight)
         def render_one(cam):
             return shade_splitsum(
                 splats,
@@ -856,10 +876,15 @@ class GeoSplatter:
                 tile_capacity=self.tile_capacity,
                 pairs_per_gaussian=self.pairs_per_gaussian,
                 pairs_budget=self.pairs_budget,
+                chunk_size=self.chunk_size,
                 tile_chunk=self.tile_chunk,
                 backend=self.backend,
                 env_quality=quality or self.env_quality,
+                checkpoint_shading=self.remat_mode == "shading",
             )
+
+        if self.remat_mode == "full":
+            render_one = jax.checkpoint(render_one)
 
         rgba, pair_info = jax.lax.map(render_one, cameras)
         aux = {

@@ -50,6 +50,7 @@ class GeoSplatterDefer:
     tile_capacity: int = 1024
     pairs_per_gaussian: int = 6
     pairs_budget: int | None = None
+    chunk_size: int = 128
     tile_chunk: int = 8
     mesh_tile_capacity: int = 256
     backend: str = "auto"
@@ -176,6 +177,7 @@ class GeoSplatterDefer:
                 tile_capacity=self.tile_capacity,
                 pairs_per_gaussian=self.pairs_per_gaussian,
                 max_pairs_override=self.pairs_budget,
+                chunk_size=self.chunk_size,
                 tile_chunk=self.tile_chunk,
                 backend=self.backend,
             )

@@ -70,6 +70,7 @@ class GeoSplatterMC:
     field_eval_chunk: int = 262144
     pairs_per_gaussian: int = 3
     pairs_budget: int | None = None
+    chunk_size: int = 128
     tile_chunk: int = 8
     num_samples_x: int = 8
     shadow_scale: float = 1.0
@@ -243,6 +244,7 @@ class GeoSplatterMC:
                 tile_capacity=self.tile_capacity,
                 pairs_per_gaussian=self.pairs_per_gaussian,
                 max_pairs_override=self.pairs_budget,
+                chunk_size=self.chunk_size,
                 tile_chunk=self.tile_chunk,
                 backend=self.backend,
             )

@@ -61,6 +61,7 @@ class GeoSplatterPrior:
     field_eval_chunk: int = 262144
     pairs_per_gaussian: int = 6
     pairs_budget: int | None = None
+    chunk_size: int = 128
     tile_chunk: int = 8
     backend: str = "auto"
 
@@ -203,6 +204,7 @@ class GeoSplatterPrior:
                 tile_capacity=self.tile_capacity,
                 pairs_per_gaussian=self.pairs_per_gaussian,
                 max_pairs_override=self.pairs_budget,
+                chunk_size=self.chunk_size,
                 tile_chunk=self.tile_chunk,
                 backend=self.backend,
             )

@@ -59,6 +59,8 @@ def main():
     proj = timeit("project", pj)
 
     max_pairs = max(PAIRS * N, 1 << 12)
+    if "PAIRS_BUDGET" in os.environ:
+        max_pairs = min(max_pairs, int(os.environ["PAIRS_BUDGET"]))
     bn = jax.jit(lambda p: bin_gaussians(
         p, W, H, tile_size=TILE, max_pairs=max_pairs, tile_capacity=CAP))
     bins = timeit("bin (expand+sort+gather)", bn, proj)
