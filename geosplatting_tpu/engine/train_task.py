@@ -563,6 +563,10 @@ class GSplatTrainTask(_TrainTaskBase):
     rasterize_mode: str = "classic"   # 'classic' | 'antialiased' | '2dgs'
     tile_capacity: int = 1024
     backend: str = "auto"
+    # multi-chip data parallelism (greenfield vs the single-GPU reference,
+    # SURVEY §2.11): shard the camera batch over a 'dp' mesh axis; params and
+    # optimizer state are replicated and XLA inserts the gradient psum
+    data_parallel: bool = False
 
     def build(self, dataset, key):
         from ..models.gsplatter import GSplatter
@@ -590,9 +594,29 @@ class GSplatTrainTask(_TrainTaskBase):
             key, self.num_init_gaussians, sh_degree=self.sh_degree,
             random_scale=1.0,
         )
-        return trainer.init_state(splats)
+        state = trainer.init_state(splats)
+        if self.data_parallel and jax.device_count() > 1:
+            import math
+
+            from ..parallel.sharding import make_mesh, replicate
+
+            # largest device count that divides the batch
+            n = math.gcd(self.batch_size, jax.device_count())
+            self._mesh = make_mesh(n)
+            state = replicate(state, self._mesh)
+        return state
+
+    def mesh_size(self) -> int:
+        mesh = getattr(self, "_mesh", None)
+        return mesh.shape["dp"] if mesh is not None else 1
 
     def step_fn(self, model, trainer, state, cams, gt, key, step):
+        mesh = getattr(self, "_mesh", None)
+        if mesh is not None:
+            from ..parallel.sharding import shard_batch
+
+            cams = shard_batch(cams, mesh)
+            gt = shard_batch(gt, mesh)
         return trainer.train_step(
             state, cams, gt, key, trainer.max_sh_degree_at(step),
             reg_weights=trainer.reg_weights_at(step),

@@ -232,3 +232,17 @@ def test_gsplat_task_runs(blender_scene, tmp_path, monkeypatch):
     out = task.run()
     assert "val_psnr" in out
     assert np.isfinite(out["loss"])
+
+
+def test_gsplat_task_data_parallel(blender_scene, tmp_path, monkeypatch):
+    """The dp flag shards the camera batch over the 8-device CPU mesh and
+    the loop runs unchanged (grad psum inserted by XLA from shardings)."""
+    monkeypatch.chdir(tmp_path)
+    task = GSplatTrainTask(
+        dataset_path=blender_scene, experiment_name="t-gs-dp",
+        num_steps=2, batch_size=2, num_steps_per_save=2, num_steps_per_val=2,
+        num_val_images=1, scale_factor=SF, num_init_gaussians=256,
+        sh_degree=0, tile_capacity=128, data_parallel=True,
+    )
+    out = task.run()
+    assert np.isfinite(out["loss"])
