@@ -776,13 +776,15 @@ class GeoSplatter:
             reg = reg + fc.sdf_entropy(grid, params["sdf"]) * sdf_weight
         return out.mesh, reg, out
 
-    def get_envmap(self, params: dict) -> tuple[jnp.ndarray, list, jnp.ndarray]:
+    def get_envmap(
+        self, params: dict, method: str | None = None
+    ) -> tuple[jnp.ndarray, list, jnp.ndarray]:
         cubemap = params["cubemap"]
         white = cubemap.mean(-1, keepdims=True)
         white_balance_reg = jnp.abs(cubemap - white).mean()
         base, mips = cm.prefilter_splitsum(
             cubemap, num_samples=self.env_num_samples,
-            method=self.prefilter_method,
+            method=method or self.prefilter_method,
         )
         return base, mips, white_balance_reg
 
@@ -845,7 +847,12 @@ class GeoSplatter:
             )
         else:
             raise ValueError(sampling)
-        base, mips, light_reg = self.get_envmap(params)
+        # eval/export renders take the exact prefilter + differentiable env
+        # sampling automatically (quality='exact'); training keeps the fast
+        # path (ADVICE r1: don't rely on callers to override)
+        base, mips, light_reg = self.get_envmap(
+            params, method="sampled" if quality == "exact" else None
+        )
         exposure = jnp.exp(params["exposure"][0])
 
         if attrs.kd_jitter is not None:
