@@ -52,6 +52,7 @@ def main():
             int(os.environ["PAIRS_BUDGET"]) if "PAIRS_BUDGET" in os.environ
             else None
         ),
+        chunk_size=int(os.environ.get("KC", 128)),
     )
     cams = Cameras.from_orbit(
         center=jnp.zeros(3), radius=2.0, elevation_degrees=15.0,
@@ -84,6 +85,7 @@ def main():
         )
     loss = float(m["loss"])
     dt = time.time() - t0
+    print(f"pair_fill {float(m.get('pair_fill', -1)):.3f} face_fill {float(m.get('face_fill', -1)):.3f}")
     print(f"stage1 {STEPS / dt:.3f} it/s ({dt / STEPS * 1000:.0f} ms/step), "
           f"loss={loss:.4f} gaussians={float(m['num_gaussians']):.0f}")
 
