@@ -203,7 +203,10 @@ class _TrainTaskBase:
         for _ in range(start_step):  # keep the data order deterministic
             next(it)
 
-        dash_ctx = console.screen(self.experiment_name) if self.dashboard else None
+        dash_ctx = (
+            console.screen(self.experiment_name, num_steps=self.num_steps)
+            if self.dashboard else None
+        )
         dash = dash_ctx.__enter__() if dash_ctx else None
         metrics: dict = {}
         val_metrics: dict = {}
