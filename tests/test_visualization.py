@@ -94,3 +94,16 @@ def test_video_renderer_png_fallback(tmp_path):
         (tmp_path / "clip" / "frame_00000.png").exists()
     )
     assert ok
+
+
+def test_console_screen_dashboard():
+    from geosplatting_tpu.ui.console import console, line_plot, sparkline
+
+    assert len(sparkline([1.0, 2.0, 3.0])) == 3
+    plot = line_plot([3.0, 2.0, 1.0, 2.0], width=10, height=4, label="loss")
+    assert plot.count("\n") == 4  # 4 rows + label line
+    with console.screen("t", num_steps=3) as upd:
+        for s in range(1, 4):
+            upd(s, {"loss": 1.0 / s, "psnr": float(s)})
+    with console.screen("t2", compact=True) as upd:
+        upd(1, {"loss": 0.5})
