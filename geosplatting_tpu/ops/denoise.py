@@ -29,7 +29,11 @@ def bilateral_denoise(
     acc_w = jnp.zeros(color.shape[:2] + (1,))
     h, w = color.shape[:2]
     for fy in range(-rad, rad + 1):
+        if abs(fy) >= h:
+            continue  # whole row out of bounds (the per-Gaussian [1, N] use)
         for fx in range(-rad, rad + 1):
+            if abs(fx) >= w:
+                continue
             t_col = jnp.roll(color, (-fy, -fx), axis=(0, 1))
             t_nrm = jnp.roll(normal, (-fy, -fx), axis=(0, 1))
             t_z = jnp.roll(depth, (-fy, -fx), axis=(0, 1))
