@@ -4,11 +4,20 @@ Parity target: ``rfstudio/graphics/_mesh/_optix/c_src/denoising.cu:14-75``:
 weights w = exp(-d^2/2sigma^2) * max(n.n', eps)^128 * exp(-|z-z'| / max(dz*d, eps)),
 normalized by the accumulated weight. Implemented as a shifted-window
 accumulation (pure jnp; XLA fuses the shifts), differentiable into the
-color input."""
+color input.
+
+Gradients flow into the COLOR only — the reference backward
+(``denoising.cu:76-131`` ``bilateral_denoiser_bwd_kernel``) emits ``col_grad``
+and nothing else, so the guide weights are treated as constants. Besides
+parity, this matters numerically: differentiating through the
+``dot(n, n')^128`` normal weight amplifies guide gradients by up to 128x per
+tap and was the root cause of the TPU-only non-finite geometry gradients in
+stage 2 (see ARCHITECTURE.md, gradient-anomaly note)."""
 from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 
@@ -24,6 +33,10 @@ def bilateral_denoise(
     rad = int(2 * -(-sigma * 2.5 // 1) + 1)
     if depth_grad is None:
         depth_grad = jnp.ones_like(depth)
+    # guides are non-differentiable (reference bwd kernel: color grads only)
+    normal = jax.lax.stop_gradient(normal)
+    depth = jax.lax.stop_gradient(depth)
+    depth_grad = jax.lax.stop_gradient(depth_grad)
 
     acc = jnp.zeros_like(color)
     acc_w = jnp.zeros(color.shape[:2] + (1,))

@@ -278,6 +278,15 @@ def env_shade(
     sample_frac = 1.0 / s
 
     def eval_sample(wi, pdf_sum, vis_key):
+        # The sample direction and the MIS weight are CONSTANTS of the
+        # backward, exactly like the reference kernel (kernel.cu
+        # process_sample: mis_weight from pdfSum is never differentiated and
+        # ray_dir_grad is discarded). Differentiating through the VNDF
+        # sample generation / pdf adds biased score-function-like terms whose
+        # 1/alpha^2-style partials overflow in float32 — this was the root
+        # cause of the TPU stage-2 non-finite geometry/ks gradients.
+        wi = jax.lax.stop_gradient(wi)
+        pdf_sum = jax.lax.stop_gradient(pdf_sum)
         diff_b, spec_b = eval_bsdf(kd, arm, normals, wo, wi)
         if bsdf in ("diffuse", "white"):
             spec_b = jnp.zeros_like(spec_b)

@@ -1,12 +1,19 @@
 """Gradient sanitization: zero out non-finite gradient entries.
 
-The stage-2 MC-shading backward has produced isolated non-finite gradient
-entries when compiled for TPU (the same state and code are clean on CPU —
-an XLA-TPU fusion/fast-math artifact still under investigation; see
-tests + /tmp bisect history in round-1 logs). Training must not be poisoned
-by a handful of bad entries, so trainers zero them and report a count —
-the TPU analog of the reference's ``detect_anomaly`` finite checks
-(``engine/train.py:94-95``)."""
+Round-1 history: the stage-2 MC-shading backward produced isolated
+non-finite gradient entries when compiled for TPU. Root cause (found and
+fixed in round 2): autodiff was differentiating through the VNDF sample
+*generation* and the MIS pdf in ``ops/envshade.py``, adding biased
+score-function-like terms whose 1/alpha^2-scale partials overflow in
+float32 on the TPU fast-math path. The reference backward
+(``_optix/c_src/kernel.cu`` ``process_sample``) treats the sample
+direction and MIS weight as constants; ``envshade.py`` now does the same
+via ``stop_gradient`` and the repro (``scripts/repro_stage2_nan.py``,
+DENOISE=1 MC_SX=4, 8 trials on v5e) is clean pre-sanitization.
+
+Sanitization is kept as a cheap safety net (the TPU analog of the
+reference's ``detect_anomaly`` finite checks, ``engine/train.py:94-95``) —
+the ``nonfinite_grads`` metric must stay 0 in healthy runs."""
 from __future__ import annotations
 
 import jax
