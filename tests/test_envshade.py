@@ -106,6 +106,58 @@ def test_sdf_visibility_sphere_shadow():
     np.testing.assert_allclose(d, [-0.4, 0.5], atol=0.05)
 
 
+def test_packed_cell_samplers_match_gather_reference():
+    """The packed [cells, 8] row-gather samplers (the stage-2 crash fix —
+    one gather per point per trace step instead of eight) must reproduce
+    the naive per-corner gathers exactly, including clamp-to-edge and
+    outside-the-box behavior."""
+    from geosplatting_tpu.ops.sdf_visibility import (
+        _pack_cells, _trilerp_w8,
+    )
+
+    key = jax.random.key(0)
+    r = 9
+    sdf = jax.random.normal(key, ((r + 1) ** 3,)) * 0.3
+    pts = jax.random.uniform(
+        jax.random.key(1), (4096, 3), minval=-1.4, maxval=1.4
+    )
+    ref = sample_sdf_grid(sdf, (r, r, r), 1.0, pts)
+    corners = _pack_cells(sdf.reshape(r + 1, r + 1, r + 1))
+    g = (pts * 0.5 + 0.5) * r
+    g0 = jnp.floor(g).astype(jnp.int32)
+    g0c = jnp.clip(g0, 0, r - 1)
+    cell = (g0c[..., 2] * r + g0c[..., 1]) * r + g0c[..., 0]
+    vals = jnp.sum(corners[cell] * _trilerp_w8(g - g0), -1)
+    outside = jnp.maximum(jnp.abs(pts) - 1.0, 0.0)
+    d_box = jnp.sqrt(jnp.sum(outside * outside, -1) + 1e-12)
+    got = jnp.where(d_box > 0, vals + d_box, vals)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+    # occupancy variant: edge-padded table == per-corner clamp-to-edge
+    occ = jax.random.uniform(jax.random.key(2), (8, 8, 8))
+    rr = 8
+    p = jax.random.uniform(jax.random.key(3), (4096, 3), minval=-1.2, maxval=1.2)
+    gg = (p * 0.5 + 0.5) * rr - 0.5
+    gg0 = jnp.floor(gg).astype(jnp.int32)
+    fr = gg - gg0
+    ref_o = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                i = jnp.clip(gg0 + jnp.asarray([dx, dy, dz]), 0, rr - 1)
+                w = (
+                    (fr[..., 0] if dx else 1 - fr[..., 0])
+                    * (fr[..., 1] if dy else 1 - fr[..., 1])
+                    * (fr[..., 2] if dz else 1 - fr[..., 2])
+                )
+                ref_o = ref_o + w * occ[i[..., 2], i[..., 1], i[..., 0]]
+    cn = _pack_cells(jnp.pad(occ, 1, mode="edge"))
+    b = jnp.clip(gg0, -1, rr - 1) + 1
+    cell = (b[..., 2] * (rr + 1) + b[..., 1]) * (rr + 1) + b[..., 0]
+    got_o = jnp.sum(cn[cell] * _trilerp_w8(fr), -1)
+    np.testing.assert_allclose(np.asarray(ref_o), np.asarray(got_o), atol=1e-5)
+
+
 def test_bilateral_denoise_smooths_noise_preserves_edges():
     key = jax.random.key(5)
     h = w = 32
