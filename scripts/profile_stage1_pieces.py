@@ -157,6 +157,11 @@ def main():
             rasterize_mode="antialiased", tile_capacity=model.tile_capacity,
             pairs_per_gaussian=model.pairs_per_gaussian,
             tile_chunk=model.tile_chunk, backend="pairs",
+            chunk_size=int(os.environ.get("KC", model.chunk_size)),
+            max_pairs_override=(
+                int(os.environ["PAIRS_BUDGET"])
+                if "PAIRS_BUDGET" in os.environ else None
+            ),
         )
         return r.sum() + a.sum()
 
