@@ -243,6 +243,26 @@ def _cumsum0(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _cumprod0_excl(x: jnp.ndarray) -> jnp.ndarray:
+    """EXCLUSIVE prefix product along axis 0 (same roll ladder, multiplicative).
+
+    Composing transmittance as a product scan instead of
+    ``exp(cumsum(log1p(-alpha)))`` trades a full [KC, P] ``exp`` (the
+    kernels' most expensive VPU op) for one extra masked roll; partial
+    products of ``1 - alpha`` stay in [0, 1] so f32 underflow simply flushes
+    fully-saturated pixels to exactly 0, which the transmittance cutoff
+    treats the same as exp(-inf)."""
+    k = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    x = jnp.where(row >= 1, pltpu.roll(x, 1, 0), 1.0)
+    s = 1
+    while s < k:
+        shifted = pltpu.roll(x, s, 0)
+        x = x * jnp.where(row >= s, shifted, 1.0)
+        s *= 2
+    return x
+
+
 def _pixel_grid(tile_size: int):
     flat = jax.lax.broadcasted_iota(jnp.int32, (1, tile_size * tile_size), 1)
     px = (flat % tile_size).astype(jnp.float32) + 0.5
@@ -303,8 +323,11 @@ def _fwd_kernel(
         alpha = jnp.where(keep, alpha_raw, 0.0)
         log1m = jnp.log1p(-alpha)
 
-        prefix = _cumsum0(log1m)
-        t_excl = jnp.exp(carry_ref[...] + prefix - log1m)
+        # product-scan transmittance: exp(carry) is [1, P], so the only
+        # full-[KC, P] transcendentals left are exp(-sigma) and log1p (the
+        # latter feeds the saved log-space chunk totals the backward's
+        # dead-chunk suffix reconstruction needs)
+        t_excl = jnp.exp(carry_ref[...]) * _cumprod0_excl(1.0 - alpha)
         live = jax.lax.broadcasted_iota(jnp.int32, (kc, 1), 0) < cnt
         # per-pixel contributor count: the backward gates pairs by RANK
         # against this (exact, like CUDA rasterizers' last_contributor)
@@ -370,12 +393,14 @@ def _bwd_kernel(
         sigma, alpha_raw, keep, dx, dy = _chunk_pieces(p, cnt, tile, tile_size, tw)
         alpha = jnp.where(keep, alpha_raw, 0.0)
         log1m = jnp.log1p(-alpha)
-        # in-chunk inclusive suffix sum: total - prefix_incl + self
-        suf_in = log1m - _cumsum0(log1m)
-        chunk_tot = -suf_in[kc - 1:kc, :] + log1m[kc - 1:kc, :]
-        suf_in = suf_in + chunk_tot
-        suffix_incl = suf_log_ref[...] + suf_in
-        t_excl = jnp.exp(logt_ref[0, 0:1, :] - suffix_incl)
+        chunk_tot = jnp.sum(log1m, axis=0, keepdims=True)
+        # product-scan reconstruction (mirrors the forward): transmittance at
+        # the chunk start is a [1, P] exp of saved log totals; within the
+        # chunk an exclusive product scan advances it — no [KC, P] exp
+        t_start = jnp.exp(
+            logt_ref[0, 0:1, :] - suf_log_ref[...] - chunk_tot
+        )
+        t_excl = t_start * _cumprod0_excl(1.0 - alpha)
         # rank gate: pair contributes iff its back-rank clears the saved
         # non-contributor count — bit-exact with the forward's cutoff
         rows = jax.lax.broadcasted_iota(jnp.int32, (kc, 1), 0)
@@ -402,19 +427,48 @@ def _bwd_kernel(
         )
         d_alpha = jnp.where(keep & (alpha_raw < MAX_ALPHA), d_alpha, 0.0)
         d_sigma = -alpha * d_alpha
-        d_op = jnp.sum(jnp.where(keep, jnp.exp(-sigma) * d_alpha, 0.0), axis=1)
-        d_op = jnp.where(p[:, 5] > 0, d_op, 0.0)[:, None]
-        d_dx = d_sigma * (p[:, 2:3] * dx + p[:, 3:4] * dy)
-        d_dy = d_sigma * (p[:, 4:5] * dy + p[:, 3:4] * dx)
-        d_mu = jnp.stack((jnp.sum(d_dx, axis=1), jnp.sum(d_dy, axis=1)), axis=-1)
-        d_con = jnp.stack(
+        # geometry gradients via ONE MXU moment matmul instead of five
+        # masked [KC, P] multiply+tree-reduce chains on the VPU: every
+        # per-pixel reduction below is a polynomial in the pixel coords, so
+        # [d_sigma; e^-sigma d_alpha] x [1, x, y, x^2, xy, y^2]^T gives all
+        # the moments, and the per-pair combination is thin column math.
+        # Tile-LOCAL coords keep the basis small (|x| < tile_size) so the
+        # expansion has no catastrophic cancellation.
+        pxl, pyl = _pixel_grid(tile_size)
+        basis = jnp.concatenate(
+            (jnp.ones_like(pxl), pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl),
+            axis=0,
+        )                                               # [6, P]
+        e_da = jnp.where(keep, jnp.exp(-sigma) * d_alpha, 0.0)
+        mom = jax.lax.dot_general(
+            jnp.concatenate((d_sigma, e_da), axis=0), basis,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                               # [2*KC, 6]
+        m0 = mom[0:kc, 0:1]
+        mx = mom[0:kc, 1:2]
+        my = mom[0:kc, 2:3]
+        mxx = mom[0:kc, 3:4]
+        mxy = mom[0:kc, 4:5]
+        myy = mom[0:kc, 5:6]
+        mux = p[:, 0:1] - ((tile % tw) * tile_size).astype(jnp.float32)
+        muy = p[:, 1:2] - ((tile // tw) * tile_size).astype(jnp.float32)
+        ca, cb_, cc = p[:, 2:3], p[:, 3:4], p[:, 4:5]
+        sx = mux * m0 - mx
+        sy = muy * m0 - my
+        d_mu = jnp.concatenate(
+            (ca * sx + cb_ * sy, cc * sy + cb_ * sx), axis=-1
+        )
+        d_con = jnp.concatenate(
             (
-                jnp.sum(d_sigma * 0.5 * dx * dx, axis=1),
-                jnp.sum(d_sigma * dx * dy, axis=1),
-                jnp.sum(d_sigma * 0.5 * dy * dy, axis=1),
+                0.5 * (mux * sx - mux * mx + mxx),
+                mux * sy - muy * mx + mxy,
+                0.5 * (muy * sy - muy * my + myy),
             ),
             axis=-1,
         )
+        d_op = jnp.where(p[:, 5:6] > 0, mom[kc:2 * kc, 0:1], 0.0)
         d_ref[0] = jnp.concatenate(
             (d_mu, d_con, d_op, d_colmat[:, c:c + 1], d_colmat[:, :c]), axis=-1
         )
