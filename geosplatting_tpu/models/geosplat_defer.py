@@ -47,6 +47,7 @@ class GeoSplatterDefer:
     resolution: int = 32
     num_samples_x: int = 4
     shadow_scale: float = 1.0
+    shadow_steps: int = 24
     tile_capacity: int = 1024
     pairs_per_gaussian: int = 6
     pairs_budget: int | None = None
@@ -153,7 +154,8 @@ class GeoSplatterDefer:
             face_mask=geometry["mesh_mask"],
         )
         vis_fn = make_sdf_visibility(
-            geometry["sdf"], (self.resolution,) * 3, self.scale
+            geometry["sdf"], (self.resolution,) * 3, self.scale,
+            num_steps=self.shadow_steps,
         ) if self.shadow_scale > 0 else None
 
         @jax.checkpoint

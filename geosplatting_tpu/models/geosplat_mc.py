@@ -74,6 +74,7 @@ class GeoSplatterMC:
     tile_chunk: int = 8
     num_samples_x: int = 8
     shadow_scale: float = 1.0
+    shadow_steps: int = 24
     denoise: bool = True
     backend: str = "auto"
 
@@ -183,7 +184,8 @@ class GeoSplatterMC:
         )
         mc_positions = splats.means + offsets
         vis_fn = make_sdf_visibility(
-            params["sdf"], grid.resolution, self.scale
+            params["sdf"], grid.resolution, self.scale,
+            num_steps=self.shadow_steps,
         ) if self.shadow_scale > 0 else None
 
         @jax.checkpoint

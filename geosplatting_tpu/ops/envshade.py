@@ -274,10 +274,14 @@ def env_shade(
     vb = (grid[1] + jax.random.uniform(jax.random.fold_in(kb, 1), (m * m,))) / m
     bank_dirs = sample_light(light, ub, vb)          # [B, 3]
     bank_pdf = light_pdf_at(light, bank_dirs)        # [B]
+    # radiance per bank direction, computed ONCE: light-sample lookups then
+    # become a single [N] row-gather instead of per-point dir->texcoord trig
+    # + 2-D gathers (differentiable into light.data through the bank)
+    bank_cols = eval_light(light, bank_dirs)         # [B, 3]
 
     sample_frac = 1.0 / s
 
-    def eval_sample(wi, pdf_sum, vis_key):
+    def eval_sample(wi, pdf_sum, vis_key, light_col=None):
         # The sample direction and the MIS weight are CONSTANTS of the
         # backward, exactly like the reference kernel (kernel.cu
         # process_sample: mis_weight from pdfSum is never differentiated and
@@ -291,7 +295,8 @@ def env_shade(
         if bsdf in ("diffuse", "white"):
             spec_b = jnp.zeros_like(spec_b)
             diff_b = jnp.repeat(jnp.maximum(gmath.dot(normals, wi), 0.0) / jnp.pi, 3, -1)
-        light_col = eval_light(light, wi)
+        if light_col is None:
+            light_col = eval_light(light, wi)
         mis_w = 1.0 / jnp.maximum(pdf_sum, 1e-4)
         if visibility_fn is not None:
             v_raw = visibility_fn(
@@ -321,7 +326,7 @@ def env_shade(
         wi_l = bank_dirs[bidx]
         pdf_l = bank_pdf[bidx]
         pdf_b = _bsdf_pdf(p_diffuse, normals, wo, wi_l, alpha)
-        d1, s1, r1 = eval_sample(wi_l, pdf_l + pdf_b, k2)
+        d1, s1, r1 = eval_sample(wi_l, pdf_l + pdf_b, k2, light_col=bank_cols[bidx])
         # bsdf sample
         u = jax.random.uniform(k3, (n_pts, 3))
         wi_cos, pdf_cos = _cosine_sample(normals, u[:, 0], u[:, 1])
