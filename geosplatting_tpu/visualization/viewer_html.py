@@ -256,3 +256,104 @@ def vis_3dgs(splats, path: Path | str) -> Path:
     path.parent.mkdir(parents=True, exist_ok=True)
     path.write_text(html)
     return path
+
+
+def vis_colmap(
+    path: Path | str,
+    out: Path | str,
+    *,
+    auto_orient: bool = True,
+    max_num_points: int = 40_000,
+    frustum_scale: float = 0.06,
+    seed: int = 0,
+) -> Path:
+    """Standalone-HTML analog of the reference's interactive COLMAP viewer
+    (``rfstudio/visualization/_colmap.py:201`` ``vis_colmap``): reads a
+    sparse reconstruction, mean-centers it, optionally orients the mean
+    camera-up to +z and rescales so the 0.9-quantile of |xyz| lands at 0.9
+    (same normalization as the reference), then renders the SfM point cloud
+    plus a wireframe frustum per registered camera as tiny splats through
+    the zero-dependency WebGL viewer (no server/browser needed in this
+    environment — the file is self-contained)."""
+    from ..data.dataparsers.colmap import (
+        _qvec2rot, _read_images_bin, _read_points3d_bin,
+    )
+
+    path = Path(path)
+    sparse = None
+    for cand in (path / "sparse" / "0", path / "sparse",
+                 path / "colmap" / "sparse" / "0"):
+        if (cand / "images.bin").exists():
+            sparse = cand
+            break
+    if sparse is None:
+        raise FileNotFoundError(f"no COLMAP sparse model under {path}")
+    images = _read_images_bin(sparse / "images.bin")
+    xyz, rgb = _read_points3d_bin(sparse / "points3D.bin")
+
+    c2ws = []
+    for im in images:
+        r = _qvec2rot(im["qvec"])
+        c2w = np.eye(4, dtype=np.float64)
+        c2w[:3, :3] = r.T
+        c2w[:3, 3] = -r.T @ im["tvec"]
+        c2w[:3, 1:3] *= -1  # COLMAP +z/-y -> OpenGL -z/+y
+        c2ws.append(c2w)
+    poses = np.asarray(c2ws)                      # [N, 4, 4]
+
+    offset = xyz.mean(0)
+    poses[:, :3, 3] -= offset
+    xyz = xyz - offset
+    if auto_orient and len(poses):
+        up = poses[:, :3, 1].mean(0)
+        up = up / max(np.linalg.norm(up), 1e-9)
+        z = np.array([0.0, 0.0, 1.0])
+        v = np.cross(up, z)
+        c = float(up @ z)
+        vx = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+        rot = np.eye(3) + vx + vx @ vx / max(1 + c, 1e-9)
+        poses[:, :3, :3] = rot[None] @ poses[:, :3, :3]
+        poses[:, :3, 3] = poses[:, :3, 3] @ rot.T
+        xyz = xyz @ rot.T
+    rescale = 0.9 / max(np.quantile(np.abs(xyz).reshape(-1), 0.9), 1e-9)
+    poses[:, :3, 3] *= rescale
+    xyz = xyz * rescale
+
+    rng = np.random.default_rng(seed)
+    if len(xyz) > max_num_points:
+        pick = rng.choice(len(xyz), size=max_num_points, replace=False)
+        xyz, rgb = xyz[pick], rgb[pick]
+
+    # camera frusta: points sampled along the 8 wireframe edges
+    fr_pts, fr_cols = [], []
+    corners = np.array([
+        [-1, -0.6, -1.5], [1, -0.6, -1.5], [1, 0.6, -1.5], [-1, 0.6, -1.5],
+    ]) * frustum_scale
+    t_samples = np.linspace(0.0, 1.0, 6)[:, None]
+    for c2w in poses:
+        rot_, tr = c2w[:3, :3], c2w[:3, 3]
+        cs = corners @ rot_.T + tr
+        for a, b in [(0, 1), (1, 2), (2, 3), (3, 0)]:
+            fr_pts.append(cs[a] * (1 - t_samples) + cs[b] * t_samples)
+        for corner in cs:
+            fr_pts.append(tr * (1 - t_samples) + corner * t_samples)
+    if fr_pts:
+        fr_pts = np.concatenate(fr_pts)
+        fr_cols = np.broadcast_to(
+            np.array([1.0, 0.62, 0.15]), fr_pts.shape
+        ).copy()
+        xyz = np.concatenate([xyz, fr_pts])
+        rgb = np.concatenate([rgb, fr_cols])
+
+    n = len(xyz)
+    means = xyz.astype(np.float32)
+    scales = np.full((n, 3), 0.004, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    opac = np.full((n,), 0.95, np.float32)
+    buf = splats_to_buffer(means, scales, quats, opac,
+                           np.clip(rgb, 0, 1).astype(np.float32))
+    html = _HTML.replace("__DATA__", base64.b64encode(buf).decode())
+    out = Path(out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(html)
+    return out

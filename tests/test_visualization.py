@@ -107,3 +107,16 @@ def test_console_screen_dashboard():
             upd(s, {"loss": 1.0 / s, "psnr": float(s)})
     with console.screen("t2", compact=True) as upd:
         upd(1, {"loss": 0.5})
+
+
+def test_vis_colmap_html(tmp_path):
+    from tests.test_points_colmap import write_colmap_fixture
+
+    from geosplatting_tpu.visualization.viewer_html import vis_colmap
+
+    write_colmap_fixture(tmp_path)
+    out = vis_colmap(tmp_path, tmp_path / "colmap.html")
+    html = out.read_text()
+    assert "<html" in html.lower() and len(html) > 10_000
+    # frusta + points made it into the embedded buffer
+    assert "__DATA__" not in html
