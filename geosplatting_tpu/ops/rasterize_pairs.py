@@ -33,6 +33,7 @@ accumulation ride the color matmul as two extra MXU channels.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -47,6 +48,22 @@ from .rasterize import MAX_ALPHA, MIN_ALPHA, TRANSMITTANCE_EPS
 _INTERPRET: bool | None = None  # None = auto (interpret on CPU backend)
 _HDR = 7        # packed header: mu2 | conic3 | opacity1 | depth1
 _LOG_EPS = float(np.log(TRANSMITTANCE_EPS))
+
+# --- kernel micro-tuning knobs (env-settable for on-chip A/B sweeps) --------
+_PREC = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+# backward geometry-moment matmul: HIGHEST (f32, 6 bf16 passes) is the
+# golden-test-exact default; HIGH (bf16x3) halves the MXU passes
+_MOMENT_PREC = _PREC[os.environ.get("GEOS_MOMENT_PREC", "highest")]
+# prefix-scan implementation for in-chunk transmittance/suffix sums:
+#   'roll'   — log2(KC) pltpu.roll ladder passes on the VPU (default)
+#   'matmul' — one [KC, KC] triangular matmul on the MXU (re-admits a full
+#              [KC, P] exp in exchange for killing the ladder passes)
+_SCAN_IMPL = os.environ.get("GEOS_SCAN_IMPL", "roll")
+_SCAN_PREC = _PREC[os.environ.get("GEOS_SCAN_PREC", "high")]
 
 
 def _interpret() -> bool:
@@ -230,10 +247,23 @@ def bin_pairs(
     )
 
 
+def _tri(k: int, *, exclusive: bool) -> jnp.ndarray:
+    """[K, K] lower-triangular ones: L @ x = prefix sum of x along axis 0."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+    return ((c < r) if exclusive else (c <= r)).astype(jnp.float32)
+
+
 def _cumsum0(x: jnp.ndarray) -> jnp.ndarray:
     """Inclusive prefix sum along axis 0 (log-depth roll ladder; Mosaic has no
-    cumsum lowering)."""
+    cumsum lowering). 'matmul' trades the ladder for one MXU triangular
+    matmul."""
     k = x.shape[0]
+    if _SCAN_IMPL == "matmul":
+        return jax.lax.dot(
+            _tri(k, exclusive=False), x,
+            precision=_SCAN_PREC, preferred_element_type=jnp.float32,
+        )
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     s = 1
     while s < k:
@@ -261,6 +291,22 @@ def _cumprod0_excl(x: jnp.ndarray) -> jnp.ndarray:
         x = x * jnp.where(row >= s, shifted, 1.0)
         s *= 2
     return x
+
+
+def _texcl_from(base_log: jnp.ndarray, alpha: jnp.ndarray,
+                log1m: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive per-pair transmittance within a chunk on top of a [1, P]
+    log-space base. 'roll' keeps the [KC, P] work exp-free (product scan);
+    'matmul' does the exclusive prefix sum of log1m as one MXU triangular
+    matmul and pays a full [KC, P] exp."""
+    if _SCAN_IMPL == "matmul":
+        k = alpha.shape[0]
+        csum_excl = jax.lax.dot(
+            _tri(k, exclusive=True), log1m,
+            precision=_SCAN_PREC, preferred_element_type=jnp.float32,
+        )
+        return jnp.exp(base_log + csum_excl)
+    return jnp.exp(base_log) * _cumprod0_excl(1.0 - alpha)
 
 
 def _pixel_grid(tile_size: int):
@@ -327,7 +373,7 @@ def _fwd_kernel(
         # full-[KC, P] transcendentals left are exp(-sigma) and log1p (the
         # latter feeds the saved log-space chunk totals the backward's
         # dead-chunk suffix reconstruction needs)
-        t_excl = jnp.exp(carry_ref[...]) * _cumprod0_excl(1.0 - alpha)
+        t_excl = _texcl_from(carry_ref[...], alpha, log1m)
         live = jax.lax.broadcasted_iota(jnp.int32, (kc, 1), 0) < cnt
         # per-pixel contributor count: the backward gates pairs by RANK
         # against this (exact, like CUDA rasterizers' last_contributor)
@@ -397,10 +443,9 @@ def _bwd_kernel(
         # product-scan reconstruction (mirrors the forward): transmittance at
         # the chunk start is a [1, P] exp of saved log totals; within the
         # chunk an exclusive product scan advances it — no [KC, P] exp
-        t_start = jnp.exp(
-            logt_ref[0, 0:1, :] - suf_log_ref[...] - chunk_tot
+        t_excl = _texcl_from(
+            logt_ref[0, 0:1, :] - suf_log_ref[...] - chunk_tot, alpha, log1m
         )
-        t_excl = t_start * _cumprod0_excl(1.0 - alpha)
         # rank gate: pair contributes iff its back-rank clears the saved
         # non-contributor count — bit-exact with the forward's cutoff
         rows = jax.lax.broadcasted_iota(jnp.int32, (kc, 1), 0)
@@ -444,7 +489,7 @@ def _bwd_kernel(
             jnp.concatenate((d_sigma, e_da), axis=0), basis,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MOMENT_PREC,
         )                                               # [2*KC, 6]
         m0 = mom[0:kc, 0:1]
         mx = mom[0:kc, 1:2]
@@ -512,7 +557,7 @@ def composite_pairs_pallas(
     num_tiles_xy: tuple[int, int],
     means2d, conics, opacities, colors, depths,
 ):
-    out, _, _ = _composite_fwd_impl(
+    out, _, _, _ = _composite_fwd_impl(
         bins, tile_size, chunk_size, num_tiles_xy,
         means2d, conics, opacities, colors, depths,
     )
@@ -586,29 +631,35 @@ def _composite_fwd_impl(
         tiles[:, c + 1, :],                    # alpha [T, P]
         tiles[:, c, :],                        # depth [T, P]
     )
-    return out, bwd_meta, chunk_tots
+    return out, bwd_meta, chunk_tots, pairs
 
 
 def _composite_fwd(bins, tile_size, kc, num_tiles_xy,
                    means2d, conics, opacities, colors, depths):
-    out, log_t, chunk_tots = _composite_fwd_impl(
+    out, log_t, chunk_tots, pairs = _composite_fwd_impl(
         bins, tile_size, kc, num_tiles_xy,
         means2d, conics, opacities, colors, depths,
     )
-    res = (bins, means2d, conics, opacities, colors, depths, log_t, chunk_tots)
+    # save the PACKED pair array instead of the five per-gaussian inputs:
+    # the backward reads params exclusively through it, re-packing would cost
+    # a max_pairs-row gather (+~20 ms/camera at 1.8M pairs on v5e), and the
+    # memory is a wash (max_pairs rows vs N rows of the same width). The
+    # zero-width token carries N for the final segment_sum's static size.
+    shape_token = jnp.zeros((colors.shape[0], 0), jnp.float32)
+    res = (bins, pairs, shape_token, log_t, chunk_tots)
     return out, res
 
 
 def _composite_bwd(tile_size, kc, num_tiles_xy, res, cts):
-    bins, means2d, conics, opacities, colors, depths, log_t, chunk_tots = res
+    bins, pairs, shape_token, log_t, chunk_tots = res
     g_c, g_a, g_d = cts
     tw, th = num_tiles_xy
     num_tiles = tw * th
     cb = bins.meta_a.shape[0]
-    n, c = colors.shape
+    n = shape_token.shape[0]
+    pw = pairs.shape[1]
+    c = pw - _HDR
     p_sz = tile_size * tile_size
-    pw = _HDR + c
-    pairs = _pack_pairs(bins, means2d, conics, opacities, colors, depths, kc)
 
     # dead-chunk mask: a chunk whose highest back-rank is below every pixel's
     # non-contributor count D can produce only zero gradients (rank gate) —

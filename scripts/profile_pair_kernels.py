@@ -8,6 +8,12 @@ against VMEM window size). Run on TPU:
       python scripts/profile_pair_kernels.py
 
 Knobs: N (1572864), RES (800), PAIRS_BUDGET (1800000), REPS (5).
+
+Kernel-variant knobs (read by ops/rasterize_pairs.py at import):
+  GEOS_SCAN_IMPL=roll|matmul   in-chunk prefix scan: VPU roll ladder vs one
+                               [KC, KC] MXU triangular matmul
+  GEOS_SCAN_PREC=high|highest|default   matmul-scan precision
+  GEOS_MOMENT_PREC=highest|high|default backward moment-matmul precision
 """
 from __future__ import annotations
 
@@ -67,7 +73,12 @@ def main():
     jax.block_until_ready(proj)
     tw, th = -(-W // TILE), -(-H // TILE)
     total = int(jnp.sum(jnp.where(proj.radii > 0, 1, 0)))
-    print(f"N={N} visible={total} budget={BUDGET}", flush=True)
+    from geosplatting_tpu.ops import rasterize_pairs as rp
+    print(
+        f"N={N} visible={total} budget={BUDGET} "
+        f"scan={rp._SCAN_IMPL}/{rp._SCAN_PREC} moment={rp._MOMENT_PREC}",
+        flush=True,
+    )
 
     for kc0 in [int(x) for x in os.environ.get(
             "KC_SWEEP", "128,256,512,1024").split(",")]:
