@@ -175,6 +175,49 @@ def main():
         jax.jit(jax.grad(rast_fn, argnums=(0, 1, 2, 3, 4))), *args,
     )
 
+    # ---- loss (SSIM-L1 + mask MSE + PSNR metric at full batch) --------------
+    from geosplatting_tpu.graphics import images as gimages
+    from geosplatting_tpu.ops.ssim import ssim_l1_loss
+
+    batch = int(os.environ.get("BATCH", 8))
+    rgba_b = jax.random.uniform(jax.random.key(7), (batch, H, W, 4))
+    gt_b = jax.random.uniform(jax.random.key(8), (batch, H, W, 4))
+
+    def loss_piece(rgba):
+        gt_linear = gimages.srgb2rgb(gt_b[..., :3])
+        mask = gt_b[..., 3:]
+        bg = jax.random.uniform(jax.random.key(9), rgba[..., :3].shape)
+        img1 = rgba[..., :3] + (1 - rgba[..., 3:]) * bg
+        img2 = gt_linear * mask + (1 - mask) * bg
+        loss = ssim_l1_loss(img1, img2)
+        loss = loss + 5.0 * jnp.mean((mask - rgba[..., 3:]) ** 2)
+        pred_srgb = gimages.rgb2srgb(jnp.clip(rgba[..., :3], 0, 1)) * rgba[..., 3:]
+        psnr = -10.0 * jnp.log10(
+            jnp.maximum(jnp.mean((pred_srgb - gt_b[..., :3] * mask) ** 2), 1e-12)
+        )
+        return loss + 0.0 * psnr
+
+    timed(f"loss fwd (batch {batch})", jax.jit(loss_piece), rgba_b)
+    timed(f"loss fwd+bwd (batch {batch})", jax.jit(jax.grad(loss_piece)), rgba_b)
+
+    # ---- optimizer update (real trainer groups + Adam) ----------------------
+    from geosplatting_tpu.train.geosplat_trainer import (
+        GeoSplatTrainer, GeoSplatTrainerConfig,
+    )
+
+    trainer = GeoSplatTrainer(GeoSplatTrainerConfig(), model)
+    state = trainer.init_state(params)
+
+    def opt_step(st):
+        grads = jax.tree.map(lambda p: p * 1e-3, st["params"])
+        g = trainer._groups(grads)
+        new_groups, new_opt = trainer.optimizers.update(
+            g, st["opt_state"], trainer._groups(st["params"])
+        )
+        return trainer._ungroups(new_groups, st["params"]), new_opt
+
+    timed("optimizer update (all groups)", jax.jit(opt_step), state)
+
 
 if __name__ == "__main__":
     main()
