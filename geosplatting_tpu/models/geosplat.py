@@ -34,7 +34,7 @@ from ..graphics.mesh import TriangleMesh
 from ..graphics.splats import Splats
 from ..ops import cubemap as cm
 from ..ops.hashgrid import HashGridConfig, hashgrid_encode
-from ..ops.rasterize import rasterize
+from ..ops.rasterize import rasterize, rasterize_batched
 from .encodings import TriplaneEncoding
 from .mlp import MLPConfig
 
@@ -583,6 +583,59 @@ def get_gaussians_from_vertex(
     return splats, attrs, valid
 
 
+def shade_colors_splitsum(
+    splats: Splats,
+    attrs: RenderableAttrs,
+    camera_pos: jnp.ndarray,           # [3]
+    *,
+    env_base: jnp.ndarray,
+    env_mips: list[jnp.ndarray],
+    min_roughness: float,
+    max_metallic: float,
+    mode: str = "pbr",
+    culling: bool = False,
+    env_quality: str = "fast",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-Gaussian split-sum GGX radiance (the shading half of
+    RenderableAttrs.splat, geosplat.py:53-132). Returns (colors [N, 3],
+    opacities [N]); camera enters only through its position, so a camera
+    batch is a plain vmap over ``camera_pos``."""
+    wo = gmath.safe_normalize(camera_pos - splats.means)
+    opacities = jax.nn.sigmoid(splats.opacities[:, 0])
+    if culling:
+        front = jnp.sum(attrs.normals * wo, -1) > 0.0
+        opacities = jnp.where(jax.lax.stop_gradient(front), opacities, 0.0)
+
+    roughness = attrs.ks[:, 0:1] * (1 - min_roughness) + min_roughness
+    metallic = attrs.ks[:, 1:2] * max_metallic
+    specular = (1.0 - metallic) * 0.04 + attrs.kd * metallic
+    diffuse = attrs.kd * (1.0 - metallic)
+
+    n_dot_v = jnp.clip(jnp.sum(attrs.normals * wo, -1, keepdims=True), 1e-6, None)
+    fast = env_quality == "fast"
+    fg = (
+        cm.fg_analytic(n_dot_v, roughness) if fast
+        else cm.sample_fg_lut(n_dot_v, roughness)
+    )  # [N, 2]
+    inv_wi = 2.0 * jnp.sum(wo * attrs.normals, -1, keepdims=True) * attrs.normals - wo
+    l_diff, l_spec = cm.sample_splitsum(
+        env_base, env_mips, attrs.normals, inv_wi, roughness,
+        with_diffuse=(mode == "diffuse") or not fast,
+        filter_mode="nearest" if fast else "bilinear",
+        mip_filter="nearest" if fast else "trilinear",
+    )
+    reflectance = specular * fg[:, 0:1] + fg[:, 1:2]
+    if mode == "pbr":
+        colors = diffuse + l_spec * reflectance
+    elif mode == "diffuse":
+        colors = l_diff * diffuse
+    elif mode == "specular":
+        colors = l_spec * reflectance
+    else:
+        raise ValueError(mode)
+    return colors, opacities
+
+
 def shade_splitsum(
     splats: Splats,
     attrs: RenderableAttrs,
@@ -619,41 +672,12 @@ def shade_splitsum(
     far more than storing its ~100 MB of residuals."""
 
     def shade(splats, attrs, env_base, env_mips, exposure):
-        camera_pos = camera.c2w[:, 3]
-        wo = gmath.safe_normalize(camera_pos - splats.means)
-        opacities = jax.nn.sigmoid(splats.opacities[:, 0])
-        if culling:
-            front = jnp.sum(attrs.normals * wo, -1) > 0.0
-            opacities = jnp.where(jax.lax.stop_gradient(front), opacities, 0.0)
-
-        roughness = attrs.ks[:, 0:1] * (1 - min_roughness) + min_roughness
-        metallic = attrs.ks[:, 1:2] * max_metallic
-        specular = (1.0 - metallic) * 0.04 + attrs.kd * metallic
-        diffuse = attrs.kd * (1.0 - metallic)
-
-        n_dot_v = jnp.clip(jnp.sum(attrs.normals * wo, -1, keepdims=True), 1e-6, None)
-        fast = env_quality == "fast"
-        fg = (
-            cm.fg_analytic(n_dot_v, roughness) if fast
-            else cm.sample_fg_lut(n_dot_v, roughness)
-        )  # [N, 2]
-        inv_wi = 2.0 * jnp.sum(wo * attrs.normals, -1, keepdims=True) * attrs.normals - wo
-        l_diff, l_spec = cm.sample_splitsum(
-            env_base, env_mips, attrs.normals, inv_wi, roughness,
-            with_diffuse=(mode == "diffuse") or not fast,
-            filter_mode="nearest" if fast else "bilinear",
-            mip_filter="nearest" if fast else "trilinear",
+        return shade_colors_splitsum(
+            splats, attrs, camera.c2w[:, 3],
+            env_base=env_base, env_mips=env_mips,
+            min_roughness=min_roughness, max_metallic=max_metallic,
+            mode=mode, culling=culling, env_quality=env_quality,
         )
-        reflectance = specular * fg[:, 0:1] + fg[:, 1:2]
-        if mode == "pbr":
-            colors = diffuse + l_spec * reflectance
-        elif mode == "diffuse":
-            colors = l_diff * diffuse
-        elif mode == "specular":
-            colors = l_spec * reflectance
-        else:
-            raise ValueError(mode)
-        return colors, opacities
 
     if checkpoint_shading:
         shade = jax.checkpoint(shade)
@@ -732,6 +756,11 @@ class GeoSplatter:
     prefilter_method: str = "conv"   # 'conv' (fast, training) | 'sampled'
     env_quality: str = "fast"        # 'fast' (training) | 'exact'
     backend: str = "auto"
+    # vmap the gradient-free binning front-end (projection + pair sorts)
+    # over the whole camera batch instead of re-sorting per camera inside
+    # the scan — batched TPU sorts cost about the same as one unbatched
+    # sort. Pairs backend only.
+    batched_binning: bool = False
 
     def make_grid(self) -> fc.FlexiCubesGrid:
         return fc.make_grid(
@@ -870,6 +899,53 @@ class GeoSplatter:
         # backward costs ~2x the whole rasterizer ('shading' mode saves them
         # and rematerializes only the cheap shading; 'full' is the fallback
         # if residual memory is tight)
+        if self.batched_binning:
+            attrs2 = attrs._replace(kd_jitter=None, ks_jitter=None)
+            env_q = quality or self.env_quality
+
+            def shade_b(splats, attrs, env_base, env_mips):
+                return jax.vmap(
+                    lambda cp: shade_colors_splitsum(
+                        splats, attrs, cp,
+                        env_base=env_base, env_mips=env_mips,
+                        min_roughness=self.min_roughness,
+                        max_metallic=self.max_metallic,
+                        env_quality=env_q,
+                    )
+                )(cameras.c2w[:, :, 3])
+
+            if self.remat_mode == "shading":
+                shade_b = jax.checkpoint(shade_b)
+            colors_b, opac_b = shade_b(splats, attrs2, base, mips)
+            render_b, alpha_b, info = rasterize_batched(
+                splats.means,
+                gmath.safe_normalize(splats.quats),
+                jnp.exp(splats.scales),
+                opac_b,
+                colors_b,
+                cameras.view_matrix,
+                cameras.intrinsic_matrix,
+                cameras.width,
+                cameras.height,
+                rasterize_mode="antialiased",
+                pairs_per_gaussian=self.pairs_per_gaussian,
+                max_pairs_override=self.pairs_budget,
+                chunk_size=self.chunk_size,
+            )
+            rgba = jnp.concatenate(
+                (tone_naive(render_b, exposure), alpha_b), axis=-1
+            )
+            aux = {
+                "num_gaussians": valid.sum(),
+                "num_surf_cubes": extracted.num_surf_cubes,
+                "num_surf_edges": extracted.num_surf_edges,
+                "num_faces_valid": num_faces_valid,
+                "max_render_faces": jnp.asarray(self.max_render_faces, jnp.int32),
+                "total_pairs": info["total_pairs"],
+                "max_pairs": jnp.asarray(info["max_pairs"], jnp.int32),
+            }
+            return rgba, reg, aux
+
         def render_one(cam):
             return shade_splitsum(
                 splats,

@@ -53,6 +53,8 @@ def main():
             else None
         ),
         chunk_size=int(os.environ.get("KC", 128)),
+        batched_binning=os.environ.get("BATCHED_BINNING", "0") == "1",
+        remat_mode=os.environ.get("REMAT_MODE", "shading"),
     )
     cams = Cameras.from_orbit(
         center=jnp.zeros(3), radius=2.0, elevation_degrees=15.0,

@@ -106,6 +106,48 @@ def test_stage1_render_shapes_and_grads():
         assert float(jnp.abs(g[name]).sum()) > 0, f"no gradient into {name}"
 
 
+def test_stage1_batched_binning_matches_map():
+    """batched_binning=True (vmapped binning + batched shading) must produce
+    the same images and gradients as the per-camera map path."""
+    from geosplatting_tpu.ops import rasterize_pairs as rp
+
+    old = rp._INTERPRET
+    rp._INTERPRET = True  # pairs backend on CPU
+    try:
+        kw = dict(pairs_per_gaussian=4, chunk_size=128)
+        m_map = make_model(backend="pairs", **kw)
+        m_bat = make_model(backend="pairs", batched_binning=True, **kw)
+        params = m_map.init(jax.random.key(0))
+        grid = m_map.make_grid()
+        params["sdf"] = jnp.linalg.norm(grid.base_vertices(), axis=-1) - 0.5
+        cams = Cameras.from_orbit(
+            center=jnp.zeros(3), radius=2.0, elevation_degrees=10.0,
+            num_samples=2, width=W, height=H,
+        )
+        key = jax.random.key(1)
+        rgba0, reg0, aux0 = m_map.render(params, cams, key)
+        rgba1, reg1, aux1 = m_bat.render(params, cams, key)
+        np.testing.assert_allclose(
+            np.asarray(rgba0), np.asarray(rgba1), atol=1e-5, rtol=1e-5
+        )
+        assert int(aux0["total_pairs"]) == int(aux1["total_pairs"])
+
+        def loss(m, p):
+            rgba, reg, _ = m.render(p, cams, key)
+            return rgba.sum() + reg
+
+        g0 = jax.grad(lambda p: loss(m_map, p))(params)
+        g1 = jax.grad(lambda p: loss(m_bat, p))(params)
+        f0, _ = jax.flatten_util.ravel_pytree(g0)
+        f1, _ = jax.flatten_util.ravel_pytree(g1)
+        assert np.isfinite(np.asarray(f1)).all()
+        np.testing.assert_allclose(
+            np.asarray(f0), np.asarray(f1), atol=2e-4, rtol=2e-3
+        )
+    finally:
+        rp._INTERPRET = old
+
+
 def test_stage1_training_improves():
     model = make_model()
     params = model.init(jax.random.key(2))
