@@ -93,10 +93,10 @@ def bench_stage1() -> tuple[float, dict]:
     key = jax.random.key(0)
     model = GeoSplatter(
         resolution=S1_GRID, scale=0.8,
-        pairs_budget=(
-            int(os.environ["BENCH_S1_PAIRS_BUDGET"])
-            if "BENCH_S1_PAIRS_BUDGET" in os.environ else None
-        ),
+        # measured-correct budget for this workload (~1.65M live pairs,
+        # pair_fill 0.92); without it the buffers size to the 3x-N worst case
+        pairs_budget=int(os.environ.get("BENCH_S1_PAIRS_BUDGET", 1_800_000)),
+        batched_binning=os.environ.get("BENCH_S1_BATCHED", "0") == "1",
     )
     cams = Cameras.from_orbit(
         center=jnp.zeros(3), radius=2.0, elevation_degrees=15.0,
