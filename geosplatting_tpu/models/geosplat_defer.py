@@ -23,6 +23,7 @@ from ..graphics.mesh import TriangleMesh
 from ..ops import envshade as es
 from ..ops.hashgrid import HashGridConfig
 from ..ops.mesh_raster import rasterize_mesh, interpolate
+from ..ops import rasterize as rasterize_mod
 from ..ops.rasterize import rasterize
 from ..ops.sdf_visibility import make_sdf_visibility
 from .geosplat import (
@@ -52,6 +53,9 @@ class GeoSplatterDefer:
     pairs_per_gaussian: int = 6
     pairs_budget: int | None = None
     chunk_size: int = 128
+    # vmap the gradient-free binning sorts over the camera batch
+    # (see GeoSplatter.batched_binning); pairs backend only
+    batched_binning: bool = False
     tile_chunk: int = 8
     mesh_tile_capacity: int = 256
     backend: str = "auto"
@@ -158,9 +162,37 @@ class GeoSplatterDefer:
             num_steps=self.shadow_steps,
         ) if self.shadow_scale > 0 else None
 
+        bsz = cameras.shape[0]
+        precomp = None
+        if self.batched_binning:
+            # vmap the gradient-free binning sorts over the camera batch
+            # (see GeoSplatter.batched_binning). The per-camera opacity kill
+            # for back-facing gaussians feeds binning, so it is recomputed
+            # batched here (and again, cheaply, inside render_one for the
+            # G-buffer colors).
+            lookat_b = -cameras.c2w[:, :, 2]                     # [B, 3]
+            bend_b = (
+                jax.lax.stop_gradient(normals) @ lookat_b.T
+            ).T[..., None] > 0                                   # [B, N, 1]
+            opac_b = jnp.where(bend_b, -2.0, params["opacities"][None])
+            precomp = rasterize_mod.bin_cameras_batched(
+                means, gmath.safe_normalize(params["quats"]),
+                jnp.exp(params["scales"]),
+                jax.nn.sigmoid(opac_b[..., 0]),
+                cameras.view_matrix, cameras.intrinsic_matrix,
+                cameras.width, cameras.height,
+                rasterize_mode="antialiased",
+                pairs_per_gaussian=self.pairs_per_gaussian,
+                max_pairs_override=self.pairs_budget,
+                chunk_size=self.chunk_size,
+            )
+
         @jax.checkpoint
         def render_one(args):
-            cam, sk = args
+            if precomp is None:
+                cam, sk = args
+            else:
+                cam, sk, proj, bins = args
             camera_pos = cam.c2w[:, 3]
             camera_lookat = -cam.c2w[:, 2]
             bend = jnp.sum(
@@ -170,19 +202,25 @@ class GeoSplatterDefer:
             opac = jnp.where(bend, -2.0, params["opacities"])
 
             gbuf_colors = jnp.concatenate((frag_normals, kd, ks, occ), -1)  # 14ch
-            render, alpha, info = rasterize(
-                means, gmath.safe_normalize(params["quats"]),
-                jnp.exp(params["scales"]), jax.nn.sigmoid(opac[:, 0]),
-                gbuf_colors, cam.view_matrix, cam.intrinsic_matrix,
-                cam.width, cam.height,
-                rasterize_mode="antialiased",
-                tile_capacity=self.tile_capacity,
-                pairs_per_gaussian=self.pairs_per_gaussian,
-                max_pairs_override=self.pairs_budget,
-                chunk_size=self.chunk_size,
-                tile_chunk=self.tile_chunk,
-                backend=self.backend,
-            )
+            if precomp is None:
+                render, alpha, info = rasterize(
+                    means, gmath.safe_normalize(params["quats"]),
+                    jnp.exp(params["scales"]), jax.nn.sigmoid(opac[:, 0]),
+                    gbuf_colors, cam.view_matrix, cam.intrinsic_matrix,
+                    cam.width, cam.height,
+                    rasterize_mode="antialiased",
+                    tile_capacity=self.tile_capacity,
+                    pairs_per_gaussian=self.pairs_per_gaussian,
+                    max_pairs_override=self.pairs_budget,
+                    chunk_size=self.chunk_size,
+                    tile_chunk=self.tile_chunk,
+                    backend=self.backend,
+                )
+            else:
+                render, alpha, info = rasterize_mod.composite_from_bins(
+                    proj, bins, gbuf_colors, kc=precomp[2], max_pairs=precomp[3],
+                    width=cam.width, height=cam.height,
+                )
             render = render / jnp.maximum(jax.lax.stop_gradient(alpha), 1e-6)
             frag_n = gmath.safe_normalize(render[..., 0:3])
             frag_kd = render[..., 3:6]
@@ -238,10 +276,12 @@ class GeoSplatterDefer:
                 rgb = rgba[..., :3] * exposure
             return jnp.concatenate((rgb, rgba[..., 3:]), -1), info["total_pairs"]
 
-        bsz = cameras.shape[0]
-        rgba, total_pairs = jax.lax.map(
-            render_one, (cameras, jax.random.split(k3, bsz))
+        keys_b = jax.random.split(k3, bsz)
+        xs = (
+            (cameras, keys_b) if precomp is None
+            else (cameras, keys_b, precomp[0], precomp[1])
         )
+        rgba, total_pairs = jax.lax.map(render_one, xs)
         aux = {
             "num_gaussians": means.shape[0],
             "total_pairs": total_pairs.max(),

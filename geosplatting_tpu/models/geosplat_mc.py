@@ -26,6 +26,7 @@ from ..ops import cubemap as cm
 from ..ops import envshade as es
 from ..ops.denoise import bilateral_denoise
 from ..ops.hashgrid import HashGridConfig
+from ..ops import rasterize as rasterize_mod
 from ..ops.rasterize import rasterize
 from ..ops.sdf_visibility import make_sdf_visibility
 from .geosplat import (
@@ -71,6 +72,9 @@ class GeoSplatterMC:
     pairs_per_gaussian: int = 3
     pairs_budget: int | None = None
     chunk_size: int = 128
+    # vmap the gradient-free binning sorts over the camera batch
+    # (see GeoSplatter.batched_binning); pairs backend only
+    batched_binning: bool = False
     tile_chunk: int = 8
     num_samples_x: int = 8
     shadow_scale: float = 1.0
@@ -188,9 +192,31 @@ class GeoSplatterMC:
             num_steps=self.shadow_steps,
         ) if self.shadow_scale > 0 else None
 
+        bsz = cameras.shape[0]
+        precomp = None
+        if self.batched_binning:
+            # vmap the gradient-free binning sorts over the camera batch
+            # (see GeoSplatter.batched_binning); opacities are camera-
+            # independent here so only projection varies per camera
+            opac = jax.nn.sigmoid(splats.opacities[:, 0])
+            precomp = rasterize_mod.bin_cameras_batched(
+                splats.means, gmath.safe_normalize(splats.quats),
+                jnp.exp(splats.scales),
+                jnp.broadcast_to(opac, (bsz,) + opac.shape),
+                cameras.view_matrix, cameras.intrinsic_matrix,
+                cameras.width, cameras.height,
+                rasterize_mode="antialiased",
+                pairs_per_gaussian=self.pairs_per_gaussian,
+                max_pairs_override=self.pairs_budget,
+                chunk_size=self.chunk_size,
+            )
+
         @jax.checkpoint
         def render_one(args):
-            cam, sk = args
+            if precomp is None:
+                cam, sk = args
+            else:
+                cam, sk, proj, bins = args
             camera_pos = cam.c2w[:, 3]
             camera_lookat = -cam.c2w[:, 2]
             bend = jnp.sum(
@@ -237,19 +263,25 @@ class GeoSplatterMC:
             else:
                 colors = spec
 
-            render, alpha, info = rasterize(
-                splats.means, gmath.safe_normalize(splats.quats),
-                jnp.exp(splats.scales), jax.nn.sigmoid(splats.opacities[:, 0]),
-                colors, cam.view_matrix, cam.intrinsic_matrix,
-                cam.width, cam.height,
-                rasterize_mode="antialiased",
-                tile_capacity=self.tile_capacity,
-                pairs_per_gaussian=self.pairs_per_gaussian,
-                max_pairs_override=self.pairs_budget,
-                chunk_size=self.chunk_size,
-                tile_chunk=self.tile_chunk,
-                backend=self.backend,
-            )
+            if precomp is None:
+                render, alpha, info = rasterize(
+                    splats.means, gmath.safe_normalize(splats.quats),
+                    jnp.exp(splats.scales), jax.nn.sigmoid(splats.opacities[:, 0]),
+                    colors, cam.view_matrix, cam.intrinsic_matrix,
+                    cam.width, cam.height,
+                    rasterize_mode="antialiased",
+                    tile_capacity=self.tile_capacity,
+                    pairs_per_gaussian=self.pairs_per_gaussian,
+                    max_pairs_override=self.pairs_budget,
+                    chunk_size=self.chunk_size,
+                    tile_chunk=self.tile_chunk,
+                    backend=self.backend,
+                )
+            else:
+                render, alpha, info = rasterize_mod.composite_from_bins(
+                    proj, bins, colors, kc=precomp[2], max_pairs=precomp[3],
+                    width=cam.width, height=cam.height,
+                )
             rgb = render[..., :3]
             if tone_type == "naive":
                 rgb = tone_naive(rgb, exposure)
@@ -259,10 +291,12 @@ class GeoSplatterMC:
                 rgb = rgb * exposure
             return jnp.concatenate((rgb, alpha), -1), info["total_pairs"]
 
-        bsz = cameras.shape[0]
-        rgba, total_pairs = jax.lax.map(
-            render_one, (cameras, jax.random.split(k_shade, bsz))
+        keys_b = jax.random.split(k_shade, bsz)
+        xs = (
+            (cameras, keys_b) if precomp is None
+            else (cameras, keys_b, precomp[0], precomp[1])
         )
+        rgba, total_pairs = jax.lax.map(render_one, xs)
         aux = {
             "num_gaussians": valid.sum(),
             "num_surf_cubes": extracted.num_surf_cubes,

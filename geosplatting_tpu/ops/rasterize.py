@@ -269,12 +269,11 @@ def rasterize(
     )
 
 
-def rasterize_batched(
+def bin_cameras_batched(
     means: jnp.ndarray,
     quats: jnp.ndarray,       # normalized
     scales: jnp.ndarray,      # linear scales
     opacities_b: jnp.ndarray, # [B, N] (per-camera: culling may zero some)
-    colors_b: jnp.ndarray,    # [B, N, C] per-camera shaded colors
     viewmats_b: jnp.ndarray,  # [B, 4, 4]
     Ks_b: jnp.ndarray,        # [B, 3, 3]
     width: int,
@@ -287,22 +286,16 @@ def rasterize_batched(
     pairs_per_gaussian: int = 8,
     max_pairs_override: int | None = None,
     chunk_size: int = 128,
-) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
-    """Batched-camera rasterization on the pairs backend.
+):
+    """Projection + pair binning vmapped over the camera batch.
 
-    The gradient-free binning front-end (EWA projection + pair expansion +
-    the packed-key / segment / inversion sorts) runs vmapped over the whole
-    camera batch — batched TPU sorts cost about the same as one unbatched
-    sort, so the per-camera sort overhead of ``rasterize`` amortizes ~B-fold.
-    The pair pack + composite kernels + gradient reassembly (the custom-vjp
-    boundary) still scan per camera: the pack gather rides inside the VJP so
-    its transpose stays a sorted segment-sum rather than an XLA scatter.
-
-    Returns (render [B, H, W, C], alpha [B, H, W, 1], info).
-    """
-    from .rasterize_pairs import (
-        bin_pairs, composite_pairs_pallas, pick_chunk_size,
-    )
+    The binning front-end (EWA projection + pair expansion + the packed-key /
+    segment / inversion sorts) is gradient-free integer work, and batched TPU
+    sorts cost about the same as one unbatched sort — so running it once for
+    the whole batch amortizes the per-camera sort overhead ~B-fold. Returns
+    (proj_b, bins_b, kc, max_pairs); feed per-camera slices to
+    ``composite_from_bins`` inside the camera scan."""
+    from .rasterize_pairs import bin_pairs, pick_chunk_size
 
     n = means.shape[0]
     max_pairs = max(int(pairs_per_gaussian) * n, 1 << 12)
@@ -325,15 +318,75 @@ def rasterize_batched(
             chunk_size=kc, near=near, far=far,
         )
     )(proj_b)
+    return proj_b, bins_b, kc, max_pairs
+
+
+def composite_from_bins(
+    proj,
+    bins,
+    colors: jnp.ndarray,      # [N, C]
+    *,
+    kc: int,
+    max_pairs: int,
+    width: int,
+    height: int,
+    tile_size: int = 16,
+) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """One camera's composite from precomputed (proj, bins) — the per-camera
+    half of the batched-binning path (custom-vjp boundary: pack gather +
+    kernels + sorted segment-sum reassembly)."""
+    from .rasterize_pairs import composite_pairs_pallas
+
+    tw = -(-width // tile_size)
+    th = -(-height // tile_size)
+    tiles_c, tiles_a, _ = composite_pairs_pallas(
+        bins, tile_size, kc, (tw, th), proj.means2d, proj.conics,
+        proj.opacities, colors, proj.depths,
+    )
+    img_c = _tiles_to_image(tiles_c, tw, th, tile_size, height, width)
+    img_a = _tiles_to_image(tiles_a[..., None], tw, th, tile_size, height, width)
+    info = {
+        "total_pairs": bins.total_pairs,
+        "max_pairs": max_pairs,
+    }
+    return img_c, img_a, info
+
+
+def rasterize_batched(
+    means: jnp.ndarray,
+    quats: jnp.ndarray,       # normalized
+    scales: jnp.ndarray,      # linear scales
+    opacities_b: jnp.ndarray, # [B, N] (per-camera: culling may zero some)
+    colors_b: jnp.ndarray,    # [B, N, C] per-camera shaded colors
+    viewmats_b: jnp.ndarray,  # [B, 4, 4]
+    Ks_b: jnp.ndarray,        # [B, 3, 3]
+    width: int,
+    height: int,
+    *,
+    near: float = 0.01,
+    far: float = 1e10,
+    rasterize_mode: str = "antialiased",
+    tile_size: int = 16,
+    pairs_per_gaussian: int = 8,
+    max_pairs_override: int | None = None,
+    chunk_size: int = 128,
+) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Batched-camera rasterization on the pairs backend: vmapped binning
+    (``bin_cameras_batched``) + a per-camera scan of the composite kernels.
+    Returns (render [B, H, W, C], alpha [B, H, W, 1], info)."""
+    proj_b, bins_b, kc, max_pairs = bin_cameras_batched(
+        means, quats, scales, opacities_b, viewmats_b, Ks_b, width, height,
+        near=near, far=far, rasterize_mode=rasterize_mode,
+        tile_size=tile_size, pairs_per_gaussian=pairs_per_gaussian,
+        max_pairs_override=max_pairs_override, chunk_size=chunk_size,
+    )
 
     def one(xs):
         proj, bins, colors = xs
-        tiles_c, tiles_a, _ = composite_pairs_pallas(
-            bins, tile_size, kc, (tw, th), proj.means2d, proj.conics,
-            proj.opacities, colors, proj.depths,
+        img_c, img_a, _ = composite_from_bins(
+            proj, bins, colors, kc=kc, max_pairs=max_pairs,
+            width=width, height=height, tile_size=tile_size,
         )
-        img_c = _tiles_to_image(tiles_c, tw, th, tile_size, height, width)
-        img_a = _tiles_to_image(tiles_a[..., None], tw, th, tile_size, height, width)
         return img_c, img_a
 
     img_c_b, img_a_b = jax.lax.map(one, (proj_b, bins_b, colors_b))

@@ -1,0 +1,127 @@
+"""batched_binning=True (vmapped binning sorts over the camera batch) must
+reproduce the per-camera map path exactly for the MC (stage-2) and deferred
+(stage-3) models. Stage-1 is covered in test_geosplat_stage1.py."""
+import jax
+import jax.flatten_util  # noqa: F401  (jax.flatten_util.ravel_pytree)
+import jax.numpy as jnp
+import numpy as np
+
+from geosplatting_tpu.graphics import gmath
+from geosplatting_tpu.graphics.cameras import Cameras
+from geosplatting_tpu.models.geosplat_defer import GeoSplatterDefer
+from geosplatting_tpu.models.geosplat_mc import GeoSplatterMC
+from geosplatting_tpu.ops import rasterize_pairs as rp
+
+W = H = 32
+
+
+def _cams(n=2):
+    return Cameras.from_orbit(
+        center=jnp.zeros(3), radius=2.0, elevation_degrees=15.0,
+        num_samples=n, width=W, height=H,
+    )
+
+
+def _assert_close(a, b, **kw):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), **kw)
+
+
+def test_stage2_batched_binning_matches_map():
+    old = rp._INTERPRET
+    rp._INTERPRET = True
+    try:
+        kw = dict(
+            resolution=10, scale=1.0, tile_capacity=64, tile_chunk=4,
+            num_samples_x=2, shadow_scale=0.0, denoise=False,
+            backend="pairs", pairs_per_gaussian=4,
+        )
+        m_map = GeoSplatterMC(**kw)
+        m_bat = GeoSplatterMC(batched_binning=True, **kw)
+        grid = m_map.make_grid()
+        params = {
+            "sdf": jnp.linalg.norm(grid.base_vertices(), axis=-1) - 0.45,
+            "deform": jnp.zeros((grid.num_vertices, 3)),
+            "weights": jnp.zeros((grid.num_cubes, 21)),
+            "latlng": jnp.full((16, 32, 3), 0.5),
+            "exposure": jnp.zeros(1),
+            "field": m_map.field.init(jax.random.key(3)),
+        }
+        cams = _cams()
+        key = jax.random.key(1)
+        rgba0, reg0, aux0 = m_map.render(params, cams, key)
+        rgba1, reg1, aux1 = m_bat.render(params, cams, key)
+        # vmapped projection reassociates the float math; a few
+        # pixels near the alpha cutoff move by ~1e-5
+        _assert_close(rgba0, rgba1, atol=5e-4, rtol=1e-3)
+        assert int(aux0["total_pairs"]) == int(aux1["total_pairs"])
+
+        def loss(m, p):
+            rgba, reg, _ = m.render(p, cams, key)
+            return rgba.sum() + reg
+
+        g0 = jax.grad(lambda p: loss(m_map, p))(params)
+        g1 = jax.grad(lambda p: loss(m_bat, p))(params)
+        f0, _ = jax.flatten_util.ravel_pytree(g0)
+        f1, _ = jax.flatten_util.ravel_pytree(g1)
+        assert np.isfinite(np.asarray(f1)).all()
+        _assert_close(f0, f1, atol=1e-3, rtol=5e-3)
+    finally:
+        rp._INTERPRET = old
+
+
+def test_stage3_batched_binning_matches_map():
+    old = rp._INTERPRET
+    rp._INTERPRET = True
+    try:
+        n = 64
+        ks = jax.random.split(jax.random.key(0), 8)
+        means = jax.random.uniform(ks[0], (n, 3), minval=-0.4, maxval=0.4)
+        export = {
+            "exposure": jnp.zeros(1),
+            "means": means,
+            "scales": jnp.full((n, 3), -2.5),
+            "quats": gmath.safe_normalize(jax.random.normal(ks[1], (n, 4))),
+            "opacities": jnp.full((n, 1), 2.0),
+            "normals": gmath.safe_normalize(means),
+            "kd": jax.random.uniform(ks[2], (n, 3), minval=0.2, maxval=0.8),
+            "occ": jnp.zeros((n, 6)),
+            "ks_enc": None,
+            "latlng": jnp.full((16, 32, 3), 0.8),
+            "mc_vertices": jax.random.uniform(ks[3], (16, 3), minval=-0.4, maxval=0.4),
+            "mc_indices": jax.random.randint(ks[4], (20, 3), 0, 16),
+            "mc_face_mask": jnp.ones(20, bool),
+            "sdf": jnp.linalg.norm(
+                jax.random.uniform(ks[5], (11 ** 3, 3)) - 0.5, axis=-1
+            ) - 0.3,
+            "initial_guess": jnp.array([-3.0, -3.0]),
+        }
+        kw = dict(
+            resolution=10, scale=1.0, tile_capacity=64, tile_chunk=4,
+            num_samples_x=2, mesh_tile_capacity=32, shadow_scale=0.0,
+            backend="pairs", pairs_per_gaussian=4,
+        )
+        m_map = GeoSplatterDefer(**kw)
+        m_bat = GeoSplatterDefer(batched_binning=True, **kw)
+        params = m_map.init_from_stage2(export, jax.random.key(1))
+        geom = m_map.frozen_geometry(export)
+        cams = _cams()
+        key = jax.random.key(2)
+        rgba0, reg0, aux0 = m_map.render(params, geom, cams, key)
+        rgba1, reg1, aux1 = m_bat.render(params, geom, cams, key)
+        # vmapped projection reassociates the float math; a few
+        # pixels near the alpha cutoff move by ~1e-5
+        _assert_close(rgba0, rgba1, atol=5e-4, rtol=1e-3)
+        assert int(aux0["total_pairs"]) == int(aux1["total_pairs"])
+
+        def loss(m, p):
+            rgba, reg, _ = m.render(p, geom, cams, key)
+            return rgba.sum() + reg
+
+        g0 = jax.grad(lambda p: loss(m_map, p))(params)
+        g1 = jax.grad(lambda p: loss(m_bat, p))(params)
+        f0, _ = jax.flatten_util.ravel_pytree(g0)
+        f1, _ = jax.flatten_util.ravel_pytree(g1)
+        assert np.isfinite(np.asarray(f1)).all()
+        _assert_close(f0, f1, atol=1e-3, rtol=5e-3)
+    finally:
+        rp._INTERPRET = old
