@@ -643,21 +643,25 @@ def _composite_fwd(bins, tile_size, kc, num_tiles_xy,
     # save the PACKED pair array instead of the five per-gaussian inputs:
     # the backward reads params exclusively through it, re-packing would cost
     # a max_pairs-row gather (+~20 ms/camera at 1.8M pairs on v5e), and the
-    # memory is a wash (max_pairs rows vs N rows of the same width). The
-    # zero-width token carries N for the final segment_sum's static size.
-    shape_token = jnp.zeros((colors.shape[0], 0), jnp.float32)
-    res = (bins, pairs, shape_token, log_t, chunk_tots)
+    # memory is a wash (max_pairs rows vs N rows of the same width). Store it
+    # FLAT: a [max_pairs, 10] f32 residual gets its minor dim lane-padded
+    # 10 -> 128 by the TPU (8,128) tiled layout — a 12.8x blowup that OOMs
+    # when residuals stack across the camera scan (8 x 4.7M x 128 x 4B =
+    # 19 GB at the worst-case pair budget); the 1-D copy is compact. The
+    # zero-width token carries (N, pair width) for the backward's statics.
+    shape_token = jnp.zeros((colors.shape[0], pairs.shape[1], 0), jnp.float32)
+    res = (bins, pairs.reshape(-1), shape_token, log_t, chunk_tots)
     return out, res
 
 
 def _composite_bwd(tile_size, kc, num_tiles_xy, res, cts):
-    bins, pairs, shape_token, log_t, chunk_tots = res
+    bins, pairs_flat, shape_token, log_t, chunk_tots = res
     g_c, g_a, g_d = cts
     tw, th = num_tiles_xy
     num_tiles = tw * th
     cb = bins.meta_a.shape[0]
-    n = shape_token.shape[0]
-    pw = pairs.shape[1]
+    n, pw = shape_token.shape[:2]
+    pairs = pairs_flat.reshape(-1, pw)
     c = pw - _HDR
     p_sz = tile_size * tile_size
 
