@@ -56,14 +56,15 @@ _PREC = {
     "highest": jax.lax.Precision.HIGHEST,
 }
 # backward geometry-moment matmul: HIGHEST (f32, 6 bf16 passes) is the
-# golden-test-exact default; HIGH (bf16x3) halves the MXU passes
+# golden-test-exact default; DEFAULT is one bf16 pass. Mosaic's dot lowering
+# rejects Precision.HIGH inside kernels — only default/highest are valid.
 _MOMENT_PREC = _PREC[os.environ.get("GEOS_MOMENT_PREC", "highest")]
 # prefix-scan implementation for in-chunk transmittance/suffix sums:
 #   'roll'   — log2(KC) pltpu.roll ladder passes on the VPU (default)
 #   'matmul' — one [KC, KC] triangular matmul on the MXU (re-admits a full
 #              [KC, P] exp in exchange for killing the ladder passes)
 _SCAN_IMPL = os.environ.get("GEOS_SCAN_IMPL", "roll")
-_SCAN_PREC = _PREC[os.environ.get("GEOS_SCAN_PREC", "high")]
+_SCAN_PREC = _PREC[os.environ.get("GEOS_SCAN_PREC", "highest")]
 
 
 def _interpret() -> bool:
@@ -293,20 +294,32 @@ def _cumprod0_excl(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _texcl_from(base_log: jnp.ndarray, alpha: jnp.ndarray,
-                log1m: jnp.ndarray) -> jnp.ndarray:
-    """Exclusive per-pair transmittance within a chunk on top of a [1, P]
-    log-space base. 'roll' keeps the [KC, P] work exp-free (product scan);
-    'matmul' does the exclusive prefix sum of log1m as one MXU triangular
-    matmul and pays a full [KC, P] exp."""
+def _scan_chunk_unit(alpha: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(exclusive unit-base transmittance [KC, P], chunk log-T total [1, P]).
+
+    The caller multiplies the unit scan by ``exp(base)`` for its [1, P]
+    log-space base. 'roll' keeps the [KC, P] work transcendental-free: the
+    product scan's last element also yields the chunk total, so the former
+    full-[KC, P] ``log1p`` + tree-sum collapses to ONE [1, P] ``log``
+    (clamped: partial products that underflow to 0 map to log(1e-30) ~ -69,
+    far past the transmittance cutoff, so saturation semantics and the
+    backward's suffix reconstruction — which recomputes this total the same
+    way — are unchanged). 'matmul' does the exclusive prefix sum of log1p as
+    one MXU triangular matmul and pays a full [KC, P] exp; its chunk total
+    is the scan's last element plus the last log1p row."""
+    k = alpha.shape[0]
     if _SCAN_IMPL == "matmul":
-        k = alpha.shape[0]
+        log1m = jnp.log1p(-alpha)
         csum_excl = jax.lax.dot(
             _tri(k, exclusive=True), log1m,
             precision=_SCAN_PREC, preferred_element_type=jnp.float32,
         )
-        return jnp.exp(base_log + csum_excl)
-    return jnp.exp(base_log) * _cumprod0_excl(1.0 - alpha)
+        chunk_tot = csum_excl[k - 1:k, :] + log1m[k - 1:k, :]
+        return jnp.exp(csum_excl), chunk_tot
+    pe = _cumprod0_excl(1.0 - alpha)
+    prod_tot = pe[k - 1:k, :] * (1.0 - alpha[k - 1:k, :])
+    chunk_tot = jnp.log(jnp.maximum(prod_tot, 1e-30))
+    return pe, chunk_tot
 
 
 def _pixel_grid(tile_size: int):
@@ -367,13 +380,12 @@ def _fwd_kernel(
         p = _slice_window(lo_ref, hi_ref, buf_ref, b_r[i] % _WOFF_PACK, kc)
         sigma, alpha_raw, keep, _, _ = _chunk_pieces(p, cnt, tile, tile_size, tw)
         alpha = jnp.where(keep, alpha_raw, 0.0)
-        log1m = jnp.log1p(-alpha)
 
-        # product-scan transmittance: exp(carry) is [1, P], so the only
-        # full-[KC, P] transcendentals left are exp(-sigma) and log1p (the
-        # latter feeds the saved log-space chunk totals the backward's
-        # dead-chunk suffix reconstruction needs)
-        t_excl = _texcl_from(carry_ref[...], alpha, log1m)
+        # product-scan transmittance: exp(carry) is [1, P] and the chunk
+        # total comes off the scan's last element, so the only full-[KC, P]
+        # transcendental left is exp(-sigma)
+        texcl_unit, chunk_tot = _scan_chunk_unit(alpha)
+        t_excl = jnp.exp(carry_ref[...]) * texcl_unit
         live = jax.lax.broadcasted_iota(jnp.int32, (kc, 1), 0) < cnt
         # per-pixel contributor count: the backward gates pairs by RANK
         # against this (exact, like CUDA rasterizers' last_contributor)
@@ -394,7 +406,6 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
         )
 
-        chunk_tot = jnp.sum(log1m, axis=0, keepdims=True)
         # per-chunk log-T total, saved so the backward's dead-chunk early
         # exit can advance its suffix carry without recomputing alphas
         ctot_ref[0] = chunk_tot
@@ -438,14 +449,15 @@ def _bwd_kernel(
         p = _slice_window(lo_ref, hi_ref, buf_ref, b_r[rc] % _WOFF_PACK, kc)
         sigma, alpha_raw, keep, dx, dy = _chunk_pieces(p, cnt, tile, tile_size, tw)
         alpha = jnp.where(keep, alpha_raw, 0.0)
-        log1m = jnp.log1p(-alpha)
-        chunk_tot = jnp.sum(log1m, axis=0, keepdims=True)
-        # product-scan reconstruction (mirrors the forward): transmittance at
-        # the chunk start is a [1, P] exp of saved log totals; within the
-        # chunk an exclusive product scan advances it — no [KC, P] exp
-        t_excl = _texcl_from(
-            logt_ref[0, 0:1, :] - suf_log_ref[...] - chunk_tot, alpha, log1m
-        )
+        # product-scan reconstruction (mirrors the forward, including the
+        # chunk total off the scan's last element so saved and recomputed
+        # totals match bit-exactly): transmittance at the chunk start is a
+        # [1, P] exp of saved log totals; within the chunk the exclusive
+        # unit scan advances it — no [KC, P] exp or log1p
+        texcl_unit, chunk_tot = _scan_chunk_unit(alpha)
+        t_excl = jnp.exp(
+            logt_ref[0, 0:1, :] - suf_log_ref[...] - chunk_tot
+        ) * texcl_unit
         # rank gate: pair contributes iff its back-rank clears the saved
         # non-contributor count — bit-exact with the forward's cutoff
         rows = jax.lax.broadcasted_iota(jnp.int32, (kc, 1), 0)

@@ -108,7 +108,21 @@ def main():
                 argnums=(0, 1, 2, 3),
             )(p.means2d, p.conics, p.opacities, c)
 
-        timed(f"composite fwd+bwd kc={kc}", jax.jit(fwdbwd), bins, proj, colors)
+        grads = timed(
+            f"composite fwd+bwd kc={kc}", jax.jit(fwdbwd), bins, proj, colors
+        )
+        # numerics fingerprint for cross-variant A/B (knobs are read at
+        # import, so each variant is its own process): grad norms + optional
+        # exact dump for offline comparison via GRAD_DUMP=<path>.npz
+        names = ("means2d", "conics", "opacities", "colors")
+        print("  grad_norms " + " ".join(
+            f"{nm}={float(jnp.linalg.norm(g)):.6e}"
+            for nm, g in zip(names, grads)
+        ), flush=True)
+        if os.environ.get("GRAD_DUMP"):
+            import numpy as np
+            np.savez(os.environ["GRAD_DUMP"],
+                     **{nm: np.asarray(g) for nm, g in zip(names, grads)})
 
 
 if __name__ == "__main__":
