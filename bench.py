@@ -4,10 +4,19 @@
 Headline metric (VERDICT r1 #2): the production stage-1 step — FlexiCubes
 96^3 grid -> SharedField materials -> split-sum shading -> antialiased
 rasterization at 8x800x800, full forward+backward+Adam — in steps/sec.
-``extra`` carries the secondary 3DGS metric (8x800x800, 50k gaussians) that
-round 1 headlined. Until a measured A100 number for the reference exists,
-``vs_baseline`` compares against an assumed 3.3 it/s A100 stage-1
-throughput (500 steps in ~2.5 min), recorded here explicitly.
+``extra`` carries the secondary 3DGS metric (8x800x800, 50k gaussians),
+the per-step timings, and the knob set. Until a measured A100 number for
+the reference exists, ``vs_baseline`` compares against an assumed 3.3 it/s
+A100 stage-1 throughput (500 steps in ~2.5 min), recorded here explicitly.
+
+Robustness (VERDICT r2 #1/#3): every timed step BLOCKS on its loss before
+the next dispatch — round 2's unblocked loop let two near-HBM-capacity
+steps stay in flight, forcing allocation spills that read as a stable
+10x slowdown (43.9 s/step vs the same computation's 4.7 s/step when
+serialized) — and the headline is the MEDIAN of >=5 per-step times with
+the full list published, so a degraded tunnel sample is visible instead
+of silently averaged in. Stage-1 runs FIRST on a pristine device; the
+50k-gaussian 3DGS workload follows.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "it/s", "vs_baseline": N, "extra": {...}}
@@ -20,6 +29,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# persistent XLA compile cache: repeat invocations (driver + local) skip the
+# multi-minute stage-1 train-step compile when nothing changed
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_geosplatting")
 
 import jax
 import jax.numpy as jnp
@@ -35,10 +48,29 @@ TILE_CAPACITY = int(os.environ.get("BENCH_TILE_CAPACITY", 768))
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
 S1_GRID = int(os.environ.get("BENCH_S1_GRID", 96))
 S1_STEPS = int(os.environ.get("BENCH_S1_STEPS", 5))
+S1_WARMUP = int(os.environ.get("BENCH_S1_WARMUP", 3))
+S1_PAIRS_BUDGET = int(os.environ.get("BENCH_S1_PAIRS_BUDGET", 1_800_000))
+S1_BATCHED = os.environ.get("BENCH_S1_BATCHED", "0") == "1"
 RUN_S1 = os.environ.get("BENCH_STAGE1", "1") == "1"
+RUN_GS = os.environ.get("BENCH_GSPLAT", "1") == "1"
 
 
-def bench_gsplat() -> float:
+def _timed_steps(step_fn, n_warmup: int, n_timed: int) -> list[float]:
+    """Run blocked steps; return the timed per-step wall-clock list.
+
+    Each step blocks on a scalar metric before the next dispatch — keeping
+    exactly ONE step's buffers live on device (see module docstring)."""
+    for _ in range(n_warmup):
+        step_fn()
+    times = []
+    for _ in range(n_timed):
+        t0 = time.time()
+        step_fn()                      # blocks internally
+        times.append(time.time() - t0)
+    return times
+
+
+def bench_gsplat() -> tuple[float, list[float]]:
     from geosplatting_tpu.graphics.cameras import Cameras
     from geosplatting_tpu.graphics.splats import Splats
     from geosplatting_tpu.models.gsplatter import GSplatter
@@ -63,23 +95,24 @@ def bench_gsplat() -> float:
         GSplatTrainerConfig(batch_size=BATCH, warmup_length=10**9),
         model, dataset_size=BATCH,
     )
-    state = trainer.init_state(splats)
+    box = {"state": trainer.init_state(splats), "key": key, "loss": None}
     gt = jnp.broadcast_to(
         jnp.linspace(0, 1, WIDTH)[None, None, :, None], (BATCH, HEIGHT, WIDTH, 4)
     ).astype(jnp.float32)
 
-    for _ in range(int(os.environ.get("BENCH_WARMUP", 4))):
-        key, sub = jax.random.split(key)
-        state, metrics = trainer.train_step(state, cams, gt, sub, None)
-        float(metrics["loss"])
-    t0 = time.time()
-    for _ in range(STEPS):
-        key, sub = jax.random.split(key)
-        state, metrics = trainer.train_step(state, cams, gt, sub, None)
-    final_loss = float(metrics["loss"])
-    its = STEPS / (time.time() - t0)
-    assert np.isfinite(final_loss), f"non-finite loss: {final_loss}"
-    return its
+    def one_step():
+        box["key"], sub = jax.random.split(box["key"])
+        box["state"], metrics = trainer.train_step(
+            box["state"], cams, gt, sub, None
+        )
+        box["loss"] = float(metrics["loss"])  # blocks
+
+    times = _timed_steps(
+        one_step, int(os.environ.get("BENCH_WARMUP", 4)), STEPS
+    )
+    assert np.isfinite(box["loss"]), f"non-finite loss: {box['loss']}"
+    med = sorted(times)[len(times) // 2]
+    return 1.0 / med, times
 
 
 def bench_stage1() -> tuple[float, dict]:
@@ -90,13 +123,12 @@ def bench_stage1() -> tuple[float, dict]:
         GeoSplatTrainer, GeoSplatTrainerConfig,
     )
 
-    key = jax.random.key(0)
     model = GeoSplatter(
         resolution=S1_GRID, scale=0.8,
-        # measured-correct budget for this workload (~1.65M live pairs,
-        # pair_fill 0.92); without it the buffers size to the 3x-N worst case
-        pairs_budget=int(os.environ.get("BENCH_S1_PAIRS_BUDGET", 1_800_000)),
-        batched_binning=os.environ.get("BENCH_S1_BATCHED", "0") == "1",
+        # measured-correct budget for this workload (~1.55M live pairs,
+        # pair_fill ~0.86); without it the buffers size to the 3x-N worst case
+        pairs_budget=S1_PAIRS_BUDGET,
+        batched_binning=S1_BATCHED,
     )
     cams = Cameras.from_orbit(
         center=jnp.zeros(3), radius=2.0, elevation_degrees=15.0,
@@ -118,41 +150,55 @@ def bench_stage1() -> tuple[float, dict]:
     grid = model.make_grid()
     params["sdf"] = jnp.linalg.norm(grid.base_vertices(), axis=-1) - 0.45
     trainer = GeoSplatTrainer(GeoSplatTrainerConfig(batch_size=BATCH), model)
-    state = trainer.init_state(params)
-
-    for step in range(2):
-        key, sub = jax.random.split(key)
-        state, m = trainer.train_step(
-            state, cams, gt, sub, jnp.asarray(step, jnp.float32),
-            sampling=trainer.sampling_at(200),
-        )
-    float(m["loss"])
-    t0 = time.time()
-    for step in range(S1_STEPS):
-        key, sub = jax.random.split(key)
-        state, m = trainer.train_step(
-            state, cams, gt, sub, jnp.asarray(step + 200, jnp.float32),
-            sampling=trainer.sampling_at(200),
-        )
-    loss = float(m["loss"])
-    dt = (time.time() - t0) / S1_STEPS
-    assert np.isfinite(loss), f"non-finite stage-1 loss: {loss}"
-    info = {
-        "stage1_s_per_step": round(dt, 3),
-        "stage1_num_gaussians": int(m["num_gaussians"]),
-        "stage1_pair_fill": round(float(m["pair_fill"]), 3),
+    box = {
+        "state": trainer.init_state(params),
+        "key": jax.random.key(0),
+        "step": 0,
+        "m": None,
     }
-    return 1.0 / dt, info
+
+    def one_step():
+        box["key"], sub = jax.random.split(box["key"])
+        box["state"], m = trainer.train_step(
+            box["state"], cams, gt, sub,
+            jnp.asarray(200 + box["step"], jnp.float32),
+            sampling=trainer.sampling_at(200),
+        )
+        box["step"] += 1
+        box["m"] = {k: float(v) for k, v in m.items()}  # blocks
+
+    times = _timed_steps(one_step, S1_WARMUP, S1_STEPS)
+    m = box["m"]
+    assert np.isfinite(m["loss"]), f"non-finite stage-1 loss: {m['loss']}"
+    med = sorted(times)[len(times) // 2]
+    info = {
+        "stage1_s_per_step": round(med, 3),
+        "stage1_step_times": [round(x, 3) for x in times],
+        "stage1_num_gaussians": int(m["num_gaussians"]),
+        "stage1_pair_fill": round(m["pair_fill"], 3),
+        "knobs": {
+            "grid": S1_GRID, "batch": BATCH, "res": WIDTH,
+            "pairs_budget": S1_PAIRS_BUDGET,
+            "batched_binning": S1_BATCHED,
+            "scan_impl": os.environ.get("GEOS_SCAN_IMPL", "roll"),
+            "moment_prec": os.environ.get("GEOS_MOMENT_PREC", "highest"),
+        },
+    }
+    return 1.0 / med, info
 
 
 def main() -> None:
     extra: dict = {}
-    gs_its = bench_gsplat()
-    extra["gsplat_50k_its"] = round(gs_its, 3)
-
+    # stage-1 FIRST: the headline workload gets a pristine device
     if RUN_S1:
         s1_its, s1_info = bench_stage1()
         extra.update(s1_info)
+    if RUN_GS:
+        gs_its, gs_times = bench_gsplat()
+        extra["gsplat_50k_its"] = round(gs_its, 3)
+        extra["gsplat_step_times"] = [round(x, 3) for x in gs_times]
+
+    if RUN_S1:
         headline = s1_its
         metric = (
             f"stage-1 GeoSplatter production step it/s "

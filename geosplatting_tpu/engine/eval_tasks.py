@@ -21,6 +21,29 @@ from ..models.geosplat_defer import GeoSplatterDefer
 from ..ops.ssim import ssim
 
 
+def render_chunked(render_fn, cameras: Cameras, chunk: int = 8) -> np.ndarray:
+    """Render every camera through ONE jitted fixed-shape chunk function.
+
+    The reference eval renders test splits one camera at a time in Python
+    (fine at 4 views, pathological at Syn4Relight's 200); here the camera
+    axis is chunked to a static shape (last chunk padded by repeating the
+    final camera) so XLA compiles exactly once per render kind."""
+    n = cameras.shape[0]
+    chunk = max(1, min(chunk, n))
+    jfn = jax.jit(render_fn)
+    outs = []
+    for s in range(0, n, chunk):
+        idx = np.arange(s, min(s + chunk, n))
+        pad = chunk - len(idx)
+        idx_p = (
+            np.concatenate([idx, np.full(pad, n - 1, idx.dtype)])
+            if pad else idx
+        )
+        out = jfn(cameras[jnp.asarray(idx_p)])
+        outs.append(np.asarray(out)[: len(idx)])
+    return np.concatenate(outs)
+
+
 def estimate_albedo_scaling(
     model: GeoSplatterDefer,
     params: dict,
@@ -30,9 +53,12 @@ def estimate_albedo_scaling(
     method: str = "least-square",
 ) -> jnp.ndarray:
     """Per-channel albedo scaling (test_geosplat_defer.py:385-404)."""
+    kd_all = render_chunked(
+        lambda cb: model.render_attribute(params, cb, "kd"), cameras
+    )
     scalings = []
     for i in range(cameras.shape[0]):
-        kd_rgba = model.render_attribute(params, cameras[jnp.array([i])], "kd")[0]
+        kd_rgba = kd_all[i]
         # Linear-space albedo, black-composited (kd is stored linear; alpha
         # multiplication composites over black as the reference eval does).
         albedo = jnp.clip(kd_rgba[..., :3], 0, 1) * kd_rgba[..., 3:]
@@ -53,6 +79,9 @@ def estimate_albedo_scaling(
     return s.mean(0) if method == "least-square" else jnp.median(s, axis=0)
 
 
+_LPIPS_WARNED = False
+
+
 def image_metrics(pred: jnp.ndarray, gt: jnp.ndarray, fast: bool = False) -> dict:
     mse = float(jnp.mean((pred - gt) ** 2))
     out = {"psnr": -10.0 * np.log10(max(mse, 1e-12))}
@@ -63,6 +92,15 @@ def image_metrics(pred: jnp.ndarray, gt: jnp.ndarray, fast: bool = False) -> dic
 
             out["lpips"] = lpips(pred, gt)
         except (ImportError, FileNotFoundError):
+            global _LPIPS_WARNED
+            if not _LPIPS_WARNED:
+                _LPIPS_WARNED = True
+                print(
+                    "lpips: weights absent — set GEOSPLAT_LPIPS_WEIGHTS to a "
+                    "vgg16+lin .npz to enable (graph validated in "
+                    "tests/test_lpips.py); reporting lpips: null",
+                    flush=True,
+                )
             out["lpips"] = None
     return out
 
@@ -109,14 +147,16 @@ class RelightEvaler:
             return jnp.clip(rgb * rgba[..., 3:] + (1 - rgba[..., 3:]) * bg, 0, 1)
 
         if not self.skip_nvs:
+            preds = render_chunked(render_srgb, cams)
             vals = []
             for i in range(cams.shape[0]):
-                pred = render_srgb(cams[jnp.array([i])])[0]
                 gt = jnp.clip(
                     gt_images[i][..., :3] * gt_images[i][..., 3:]
                     + (1 - gt_images[i][..., 3:]) * bg, 0, 1,
                 )
-                vals.append(image_metrics(pred, jnp.asarray(gt), self.fast))
+                vals.append(
+                    image_metrics(jnp.asarray(preds[i]), jnp.asarray(gt), self.fast)
+                )
             results["nvs"] = _mean_metrics(vals)
 
         if not self.skip_rlit and meta and meta.get("relight"):
@@ -128,16 +168,20 @@ class RelightEvaler:
                     env = jnp.asarray(load_float32_image(env_path))[..., :3]
                 except Exception:
                     continue
+                n_frames = len(frames)
+                preds = render_chunked(
+                    lambda cb: render_srgb(
+                        cb, relight_envmap=env, albedo_scaling=scale
+                    ),
+                    cams[jnp.arange(n_frames)],
+                )
                 vals = []
                 for i, frame_path in enumerate(frames):
                     gt = jnp.asarray(load_masked_image(frame_path))
-                    pred = render_srgb(
-                        cams[jnp.array([i])],
-                        relight_envmap=env,
-                        albedo_scaling=scale,
-                    )[0]
                     gt_c = jnp.clip(gt[..., :3] * gt[..., 3:] + (1 - gt[..., 3:]) * bg, 0, 1)
-                    vals.append(image_metrics(pred, gt_c, self.fast))
+                    vals.append(
+                        image_metrics(jnp.asarray(preds[i]), gt_c, self.fast)
+                    )
                 results[f"relight/{name}"] = _mean_metrics(vals)
 
         if not self.skip_mat and gt_albedos is not None:
@@ -147,20 +191,29 @@ class RelightEvaler:
                 from ..data.io import load_masked_image
 
                 gt_roughs = [load_masked_image(p) for p in meta["roughness"]]
+            kd_all = render_chunked(
+                lambda cb: self.model.render_attribute(
+                    self.params, cb, "kd", albedo_scaling=scale
+                ),
+                cams,
+            )
+            ks_all = None
+            if gt_roughs is not None:
+                ks_all = render_chunked(
+                    lambda cb: self.model.render_attribute(
+                        self.params, cb, "ks", geometry=self.geometry
+                    ),
+                    cams,
+                )
             for i in range(cams.shape[0]):
-                kd_rgba = self.model.render_attribute(
-                    self.params, cams[jnp.array([i])], "kd", albedo_scaling=scale
-                )[0]
-                albedo = jnp.clip(kd_rgba[..., :3], 0, 1)
+                kd_rgba = kd_all[i]
+                albedo = jnp.clip(jnp.asarray(kd_rgba[..., :3]), 0, 1)
                 gt_a = jnp.clip(
                     gt_albedos[i][..., :3] * gt_albedos[i][..., 3:], 0, 1
                 )
                 vals.append(image_metrics(albedo * kd_rgba[..., 3:], gt_a, self.fast))
                 if gt_roughs is not None:
-                    ks_rgba = self.model.render_attribute(
-                        self.params, cams[jnp.array([i])], "ks", geometry=self.geometry
-                    )[0]
-                    rough = ks_rgba[..., 1:2]
+                    rough = jnp.asarray(ks_all[i][..., 1:2])
                     gt_r = jnp.asarray(gt_roughs[i][..., 0:1]) * jnp.asarray(
                         gt_roughs[i][..., 3:4]
                     )

@@ -166,6 +166,22 @@ class _TrainTaskBase:
     def after_update(self, model, trainer, state, step, key, last_wh):
         return state
 
+    # ---- data parallelism (SURVEY §2.11) ------------------------------------
+    def _maybe_dp_state(self, state):
+        """When the task opts into ``data_parallel``, build a 'dp' mesh over
+        the largest device count dividing the batch and replicate the train
+        state onto it (the camera batch is sharded per step in step_fn)."""
+        if getattr(self, "data_parallel", False) and jax.device_count() > 1:
+            import math
+
+            from ..parallel.sharding import make_mesh, replicate
+
+            n = math.gcd(self.batch_size, jax.device_count())
+            if n > 1:
+                self._mesh = make_mesh(n)
+                state = replicate(state, self._mesh)
+        return state
+
     # ---- the loop ----------------------------------------------------------
     def run(self, resume_dir: Path | None = None, resume_step: int | None = None) -> dict:
         from ..ui import console
@@ -250,6 +266,21 @@ class _TrainTaskBase:
                         + " ".join(f"{k}={v:.4g}" for k, v in val_metrics.items())
                         + f" it/s={its:.2f}"
                     )
+                    # budget-overflow alarm (checked at the log cadence so it
+                    # never forces an extra device sync): pair_fill >= 1.0
+                    # means the depth-priority budget is actively dropping
+                    # the farthest gaussians' pairs; > 0.95 is headroom-gone
+                    fill = float(metrics.get("pair_fill", 0.0))
+                    if fill > 0.95:
+                        msg = (
+                            f"WARNING step {step + 1}: pair_fill={fill:.3f}"
+                            + (" — pair budget EXCEEDED, farthest gaussians"
+                               " are being dropped" if fill >= 1.0 else
+                               " — pair budget nearly full")
+                            + "; raise pairs_budget (model config)"
+                        )
+                        exp.log(msg)
+                        print(msg, flush=True)
                 if (step + 1) % self.num_steps_per_save == 0 or step + 1 == self.num_steps:
                     save_checkpoint(exp.ckpt_dir, step + 1, state)
         finally:
@@ -312,6 +343,10 @@ class GeoSplatTrainTask(_TrainTaskBase):
     initial_guess: str = "hybrid"
     tile_capacity: int = 768
     backend: str = "auto"
+    # shard the camera batch over a 'dp' mesh axis (the TPU replacement for
+    # the reference's gradient accumulation, SURVEY §2.11); exactness vs the
+    # single-device step is tested in tests/test_dp_geosplat.py
+    data_parallel: bool = False
 
     def build(self, dataset, key):
         from ..models.geosplat import GeoSplatter
@@ -334,9 +369,18 @@ class GeoSplatTrainTask(_TrainTaskBase):
         return model, trainer
 
     def init_state(self, model, trainer, key):
-        return trainer.init_state(model.init(key))
+        return self._maybe_dp_state(trainer.init_state(model.init(key)))
 
     def step_fn(self, model, trainer, state, cams, gt, key, step):
+        mesh = getattr(self, "_mesh", None)
+        if mesh is not None:
+            from ..parallel.sharding import shard_batch
+
+            return trainer.train_step_dp(
+                state, shard_batch(cams, mesh), shard_batch(gt, mesh), key,
+                jnp.asarray(step, jnp.float32), mesh,
+                sampling=trainer.sampling_at(step),
+            )
         return trainer.train_step(
             state, cams, gt, key, jnp.asarray(step, jnp.float32),
             sampling=trainer.sampling_at(step),
@@ -371,6 +415,8 @@ class GeoSplatMCTrainTask(_TrainTaskBase):
     tile_capacity: int = 768
     num_samples_x: int = 8
     backend: str = "auto"
+    # dp camera-batch sharding (tests/test_dp_geosplat.py)
+    data_parallel: bool = False
 
     def build(self, dataset, key):
         from ..models.geosplat_mc import GeoSplatterMC
@@ -398,9 +444,19 @@ class GeoSplatMCTrainTask(_TrainTaskBase):
         if self.load is None:
             raise ValueError("stage-2 requires --load <stage-1 output dir>")
         export = load_export(find_export(self.load))
-        return trainer.init_state(model.init_from_stage1(export, key))
+        return self._maybe_dp_state(
+            trainer.init_state(model.init_from_stage1(export, key))
+        )
 
     def step_fn(self, model, trainer, state, cams, gt, key, step):
+        mesh = getattr(self, "_mesh", None)
+        if mesh is not None:
+            from ..parallel.sharding import shard_batch
+
+            return trainer.train_step_dp(
+                state, shard_batch(cams, mesh), shard_batch(gt, mesh), key,
+                jnp.asarray(step, jnp.float32), mesh,
+            )
         return trainer.train_step(
             state, cams, gt, key, jnp.asarray(step, jnp.float32)
         )
@@ -431,6 +487,8 @@ class GeoSplatDeferTrainTask(_TrainTaskBase):
     tile_capacity: int = 768
     num_samples_x: int = 8
     backend: str = "auto"
+    # dp camera-batch sharding (tests/test_dp_geosplat.py)
+    data_parallel: bool = False
 
     def build(self, dataset, key):
         from ..models.geosplat_defer import GeoSplatterDefer
@@ -463,10 +521,20 @@ class GeoSplatDeferTrainTask(_TrainTaskBase):
         if self.load is None:
             raise ValueError("stage-3 requires --load <stage-2 output dir>")
         export, _ = self._geometry(model)
-        return trainer.init_state(model.init_from_stage2(export, key))
+        return self._maybe_dp_state(
+            trainer.init_state(model.init_from_stage2(export, key))
+        )
 
     def step_fn(self, model, trainer, state, cams, gt, key, step):
         _, geom = self._geometry(model)
+        mesh = getattr(self, "_mesh", None)
+        if mesh is not None:
+            from ..parallel.sharding import shard_batch
+
+            return trainer.train_step_dp(
+                state, geom, shard_batch(cams, mesh), shard_batch(gt, mesh),
+                key, jnp.asarray(step, jnp.float32), mesh,
+            )
         return trainer.train_step(
             state, geom, cams, gt, key, jnp.asarray(step, jnp.float32)
         )

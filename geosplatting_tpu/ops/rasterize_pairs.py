@@ -50,21 +50,34 @@ _HDR = 7        # packed header: mu2 | conic3 | opacity1 | depth1
 _LOG_EPS = float(np.log(TRANSMITTANCE_EPS))
 
 # --- kernel micro-tuning knobs (env-settable for on-chip A/B sweeps) --------
+# Mosaic's dot lowering rejects Precision.HIGH inside kernels — only
+# default/highest are valid, enforced here so a bad knob fails with a clear
+# message instead of a Mosaic lowering crash.
 _PREC = {
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }
+
+
+def _prec(env_name: str, default: str) -> jax.lax.Precision:
+    val = os.environ.get(env_name, default)
+    if val not in _PREC:
+        raise ValueError(
+            f"{env_name}={val!r}: valid options are {sorted(_PREC)} "
+            "(Mosaic has no Precision.HIGH dot lowering)"
+        )
+    return _PREC[val]
+
+
 # backward geometry-moment matmul: HIGHEST (f32, 6 bf16 passes) is the
-# golden-test-exact default; DEFAULT is one bf16 pass. Mosaic's dot lowering
-# rejects Precision.HIGH inside kernels — only default/highest are valid.
-_MOMENT_PREC = _PREC[os.environ.get("GEOS_MOMENT_PREC", "highest")]
+# golden-test-exact default; DEFAULT is one bf16 pass.
+_MOMENT_PREC = _prec("GEOS_MOMENT_PREC", "highest")
 # prefix-scan implementation for in-chunk transmittance/suffix sums:
 #   'roll'   — log2(KC) pltpu.roll ladder passes on the VPU (default)
 #   'matmul' — one [KC, KC] triangular matmul on the MXU (re-admits a full
 #              [KC, P] exp in exchange for killing the ladder passes)
 _SCAN_IMPL = os.environ.get("GEOS_SCAN_IMPL", "roll")
-_SCAN_PREC = _PREC[os.environ.get("GEOS_SCAN_PREC", "highest")]
+_SCAN_PREC = _prec("GEOS_SCAN_PREC", "highest")
 
 
 def _interpret() -> bool:
@@ -144,9 +157,12 @@ def bin_pairs(
     bw = jnp.maximum(tx1 - tx0, 0)
     ntiles = jnp.where(valid, bw * jnp.maximum(ty1 - ty0, 0), 0)
 
-    offsets = jnp.cumsum(ntiles)
-    total = offsets[-1]
-    starts = offsets - ntiles
+    # depth-priority budget: allocate pair slots in near-to-far gaussian
+    # order, so when total pairs exceed max_pairs the overflow drops the
+    # FARTHEST gaussians' pairs (the reference never truncates; with a
+    # static budget, dropping by depth keeps the visually dominant near
+    # field intact instead of whichever gaussians have high indices)
+    order = jnp.argsort(jnp.where(ntiles > 0, depths, jnp.inf)).astype(jnp.int32)
 
     # camera-constant log-depth quantization (see rasterize.bin_gaussians)
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
@@ -162,20 +178,29 @@ def bin_pairs(
         0, (1 << depth_bits) - 1,
     )
 
-    # one fused row-gather of the expansion record (starts|tx0|ty0|bw|dq)
-    exp_rec = jnp.stack((starts, tx0, ty0, jnp.maximum(bw, 1), dq), axis=-1)
+    # one fused row-gather permutes the expansion record into depth order
+    # (a single [N, 5] gather instead of five 1-D gathers), then the slot
+    # layout (cumsum/starts) is computed over the permuted counts
+    rec = jnp.stack(
+        (ntiles, tx0, ty0, jnp.maximum(bw, 1), dq), axis=-1
+    )[order]                                           # [N, 5]
+    offsets = jnp.cumsum(rec[:, 0])
+    total = offsets[-1]
+    starts = offsets - rec[:, 0]
+    exp_rec = jnp.concatenate((starts[:, None], rec[:, 1:]), axis=-1)
     slot = jnp.arange(max_pairs, dtype=jnp.int32)
     # method='sort' everywhere: TPU sorts are ~free while the default binary-
     # search lowering is log(n) serialized gather rounds (~10x slower here)
-    gid = jnp.searchsorted(
+    rank = jnp.searchsorted(
         offsets, slot, side="right", method="sort"
     ).astype(jnp.int32)
-    gid = jnp.minimum(gid, n - 1)
-    e = exp_rec[gid]                                   # [max_pairs, 5]
+    rank = jnp.minimum(rank, n - 1)
+    e = exp_rec[rank]                                  # [max_pairs, 5]
     local = slot - e[:, 0]
     tile_id = (e[:, 2] + local // e[:, 3]) * tw + (e[:, 1] + local % e[:, 3])
     in_range = slot < jnp.minimum(total, max_pairs)
     tile_id = jnp.where(in_range, tile_id, num_tiles)
+    gid = order[rank]                                  # back to original ids
     pair_gid = jnp.where(in_range, gid, n).astype(jnp.int32)
 
     key = tile_id * (1 << depth_bits) + jnp.where(in_range, e[:, 4], 0)

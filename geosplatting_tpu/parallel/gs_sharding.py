@@ -100,6 +100,8 @@ def rasterize_gs_sharded(
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis),
                   P(), P(), P(), P()),
         out_specs=(P(axis), P(axis)),
+        # pallas_call outputs carry no vma metadata; skip the replication check
+        check_vma=False,
     )(body_inner)
     render, alpha = body(
         means, quats, scales, opacities, colors, viewmat, k_mat, lim_x, lim_y

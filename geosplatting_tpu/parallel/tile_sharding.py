@@ -53,6 +53,8 @@ def rasterize_tile_sharded(
     body = functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(),) * 9, out_specs=(P(axis), P(axis)),
+        # pallas_call outputs carry no vma metadata; skip the replication check
+        check_vma=False,
     )(body_inner)
     render, alpha = body(means, quats, scales, opacities, colors, viewmat,
                          k_mat, lim_x, lim_y)

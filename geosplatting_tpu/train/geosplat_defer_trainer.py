@@ -97,7 +97,50 @@ class GeoSplatDeferTrainer:
     def init_state(self, params: dict) -> dict[str, Any]:
         return {"params": params, "opt_state": self.optimizers.init(self._groups(params))}
 
-    @functools.partial(jax.jit, static_argnames=("self",))
+    def _local_loss(self, params, geometry, cameras, gt_rgba, bg, k_render):
+        """Per-shard loss (see geosplat_trainer._local_loss for the dp
+        mean-decomposition contract; the edge-aware regs are per-camera
+        means so they decompose too)."""
+        c = self.config
+        rgba, reg, aux = self.model.render(
+            params, geometry, cameras, k_render, ks_weight=c.ks_reg,
+        )
+        gt_clamped = jnp.clip(gt_rgba, 0, 1)
+        gt_linear = gimages.srgb2rgb(gt_clamped[..., :3])
+        mask = gt_clamped[..., 3:]
+        img1 = rgba[..., :3] + (1 - rgba[..., 3:]) * bg
+        img2 = gt_linear * mask + (1 - mask) * bg
+        loss = ssim_l1_loss(img1, img2)
+        if c.use_mask_loss:
+            loss = loss + 5.0 * jnp.mean((mask - rgba[..., 3:]) ** 2)
+        # edge-aware kd/normal smoothness vs gt (geosplat_defer.py:228-241)
+        if c.kd_reg > 0 or c.normal_reg > 0:
+            gt_comp = gt_linear * mask + (1 - mask)
+
+            def edge_aware(pred_maps):
+                def sg(x):
+                    dx = jnp.abs(x[:, :, 1:] - x[:, :, :-1])
+                    dy = jnp.abs(x[:, 1:, :] - x[:, :-1, :])
+                    return dx, dy
+
+                px, py = sg(pred_maps)
+                gx, gy = sg(gt_comp)
+                return (
+                    (px * jnp.exp(-gx)).mean() + (py * jnp.exp(-gy)).mean()
+                )
+
+            if c.kd_reg > 0:
+                kd_maps = self.model.render_attribute(params, cameras, "kd")
+                reg = reg + edge_aware(kd_maps[..., :3]) * c.kd_reg
+            if c.normal_reg > 0:
+                n_maps = self.model.render_attribute(params, cameras, "normal")
+                reg = reg + edge_aware(n_maps[..., :3]) * c.normal_reg
+        pred_srgb = gimages.rgb2srgb(jnp.clip(rgba[..., :3], 0, 1)) * rgba[..., 3:]
+        mse = jnp.mean((pred_srgb - gt_clamped[..., :3] * mask) ** 2)
+        return loss + reg, ((loss, mse, reg), aux)
+
+    @functools.partial(jax.jit, static_argnames=("self",),
+                       donate_argnames=("state",))
     def train_step(
         self,
         state: dict[str, Any],
@@ -107,51 +150,45 @@ class GeoSplatDeferTrainer:
         key: jax.Array,
         step: jnp.ndarray,
     ) -> tuple[dict[str, Any], dict[str, jnp.ndarray]]:
-        c = self.config
         k_render, k_bg = jax.random.split(key)
+        bg = jax.random.uniform(k_bg, gt_rgba[..., :3].shape)
+        grads, ((loss, mse, reg), aux) = jax.grad(
+            lambda p: self._local_loss(
+                p, geometry, cameras, gt_rgba, bg, k_render
+            ),
+            has_aux=True,
+        )(state["params"])
+        return self._apply_grads(state, grads, loss, mse, reg, aux)
 
-        def loss_fn(params):
-            rgba, reg, aux = self.model.render(
-                params, geometry, cameras, k_render, ks_weight=c.ks_reg,
-            )
-            gt_clamped = jnp.clip(gt_rgba, 0, 1)
-            gt_linear = gimages.srgb2rgb(gt_clamped[..., :3])
-            mask = gt_clamped[..., 3:]
-            bg = jax.random.uniform(k_bg, rgba[..., :3].shape)
-            img1 = rgba[..., :3] + (1 - rgba[..., 3:]) * bg
-            img2 = gt_linear * mask + (1 - mask) * bg
-            loss = ssim_l1_loss(img1, img2)
-            if c.use_mask_loss:
-                loss = loss + 5.0 * jnp.mean((mask - rgba[..., 3:]) ** 2)
-            # edge-aware kd/normal smoothness vs gt (geosplat_defer.py:228-241)
-            if c.kd_reg > 0 or c.normal_reg > 0:
-                gt_comp = gt_linear * mask + (1 - mask)
+    @functools.partial(jax.jit, static_argnames=("self", "mesh"),
+                       donate_argnames=("state",))
+    def train_step_dp(
+        self,
+        state: dict[str, Any],
+        geometry: dict,
+        cameras: Cameras,
+        gt_rgba: jnp.ndarray,
+        key: jax.Array,
+        step: jnp.ndarray,
+        mesh,
+    ) -> tuple[dict[str, Any], dict[str, jnp.ndarray]]:
+        """Camera-batch data-parallel step (see train/dp.py). ``geometry``
+        (the frozen stage-2 mesh) is replicated alongside params."""
+        from .dp import dp_value_and_grad
 
-                def edge_aware(pred_maps):
-                    def sg(x):
-                        dx = jnp.abs(x[:, :, 1:] - x[:, :, :-1])
-                        dy = jnp.abs(x[:, 1:, :] - x[:, :-1, :])
-                        return dx, dy
+        k_render, k_bg = jax.random.split(key)
+        bg = jax.random.uniform(k_bg, gt_rgba[..., :3].shape)
+        grads, (loss, mse, reg), aux = dp_value_and_grad(
+            lambda p, cams, gt, bg_: self._local_loss(
+                p, geometry, cams, gt, bg_, k_render
+            ),
+            state["params"], mesh, cameras, gt_rgba, bg,
+        )
+        return self._apply_grads(state, grads, loss, mse, reg, aux)
 
-                    px, py = sg(pred_maps)
-                    gx, gy = sg(gt_comp)
-                    return (
-                        (px * jnp.exp(-gx)).mean() + (py * jnp.exp(-gy)).mean()
-                    )
-
-                if c.kd_reg > 0:
-                    kd_maps = self.model.render_attribute(params, cameras, "kd")
-                    reg = reg + edge_aware(kd_maps[..., :3]) * c.kd_reg
-                if c.normal_reg > 0:
-                    n_maps = self.model.render_attribute(params, cameras, "normal")
-                    reg = reg + edge_aware(n_maps[..., :3]) * c.normal_reg
-            pred_srgb = gimages.rgb2srgb(jnp.clip(rgba[..., :3], 0, 1)) * rgba[..., 3:]
-            psnr = -10.0 * jnp.log10(jnp.maximum(
-                jnp.mean((pred_srgb - gt_clamped[..., :3] * mask) ** 2), 1e-12
-            ))
-            return loss + reg, (loss, reg, psnr, aux)
-
-        grads, (loss, reg, psnr, aux) = jax.grad(loss_fn, has_aux=True)(state["params"])
+    def _apply_grads(self, state, grads, loss, mse, reg, aux):
+        c = self.config
+        psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
         g = self._groups(grads)
         g["light_hue"] = g["light_hue"] * c.light_grad_scale
         g["light_value"] = g["light_value"] * c.light_grad_scale

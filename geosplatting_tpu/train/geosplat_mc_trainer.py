@@ -104,7 +104,36 @@ class GeoSplatMCTrainer:
     def init_state(self, params: dict) -> dict[str, Any]:
         return {"params": params, "opt_state": self.optimizers.init(self._groups(params))}
 
-    @functools.partial(jax.jit, static_argnames=("self",))
+    def _reg_weights(self, step: jnp.ndarray) -> dict:
+        c = self.config
+        return {
+            "sdf": _ramp(c.sdf_reg_begin, c.sdf_reg_end, c.sdf_reg_decay, step),
+            "occ": jnp.asarray(c.occ_weight),
+            "kd_grad": jnp.asarray(c.kd_grad_reg),
+            "ks_grad": jnp.asarray(c.ks_grad_reg),
+        }
+
+    def _local_loss(self, params, cameras, gt_rgba, bg, rw, k_render):
+        """Per-shard loss (see geosplat_trainer._local_loss for the dp
+        mean-decomposition contract)."""
+        c = self.config
+        rgba, reg, aux = self.model.render(
+            params, cameras, k_render, reg_weights=rw,
+            kd_perturb_std=c.kd_perturb_std, ks_perturb_std=c.ks_perturb_std,
+        )
+        gt_linear = gimages.srgb2rgb(gt_rgba[..., :3])
+        mask = gt_rgba[..., 3:]
+        img1 = rgba[..., :3] + (1 - rgba[..., 3:]) * bg
+        img2 = gt_linear * mask + (1 - mask) * bg
+        loss = ssim_l1_loss(img1, img2)
+        if c.use_mask_loss:
+            loss = loss + 5.0 * jnp.mean((mask - rgba[..., 3:]) ** 2)
+        pred_srgb = gimages.rgb2srgb(jnp.clip(rgba[..., :3], 0, 1)) * rgba[..., 3:]
+        mse = jnp.mean((pred_srgb - gt_rgba[..., :3] * mask) ** 2)
+        return loss + reg, ((loss, mse, reg), aux)
+
+    @functools.partial(jax.jit, static_argnames=("self",),
+                       donate_argnames=("state",))
     def train_step(
         self,
         state: dict[str, Any],
@@ -113,35 +142,43 @@ class GeoSplatMCTrainer:
         key: jax.Array,
         step: jnp.ndarray,
     ) -> tuple[dict[str, Any], dict[str, jnp.ndarray]]:
-        c = self.config
-        rw = {
-            "sdf": _ramp(c.sdf_reg_begin, c.sdf_reg_end, c.sdf_reg_decay, step),
-            "occ": jnp.asarray(c.occ_weight),
-            "kd_grad": jnp.asarray(c.kd_grad_reg),
-            "ks_grad": jnp.asarray(c.ks_grad_reg),
-        }
+        rw = self._reg_weights(step)
         k_render, k_bg = jax.random.split(key)
+        bg = jax.random.uniform(k_bg, gt_rgba[..., :3].shape)
+        grads, ((loss, mse, reg), aux) = jax.grad(
+            lambda p: self._local_loss(p, cameras, gt_rgba, bg, rw, k_render),
+            has_aux=True,
+        )(state["params"])
+        return self._apply_grads(state, grads, loss, mse, reg, aux)
 
-        def loss_fn(params):
-            rgba, reg, aux = self.model.render(
-                params, cameras, k_render, reg_weights=rw,
-                kd_perturb_std=c.kd_perturb_std, ks_perturb_std=c.ks_perturb_std,
-            )
-            gt_linear = gimages.srgb2rgb(gt_rgba[..., :3])
-            mask = gt_rgba[..., 3:]
-            bg = jax.random.uniform(k_bg, rgba[..., :3].shape)
-            img1 = rgba[..., :3] + (1 - rgba[..., 3:]) * bg
-            img2 = gt_linear * mask + (1 - mask) * bg
-            loss = ssim_l1_loss(img1, img2)
-            if c.use_mask_loss:
-                loss = loss + 5.0 * jnp.mean((mask - rgba[..., 3:]) ** 2)
-            pred_srgb = gimages.rgb2srgb(jnp.clip(rgba[..., :3], 0, 1)) * rgba[..., 3:]
-            psnr = -10.0 * jnp.log10(
-                jnp.maximum(jnp.mean((pred_srgb - gt_rgba[..., :3] * mask) ** 2), 1e-12)
-            )
-            return loss + reg, (loss, reg, psnr, aux)
+    @functools.partial(jax.jit, static_argnames=("self", "mesh"),
+                       donate_argnames=("state",))
+    def train_step_dp(
+        self,
+        state: dict[str, Any],
+        cameras: Cameras,
+        gt_rgba: jnp.ndarray,
+        key: jax.Array,
+        step: jnp.ndarray,
+        mesh,
+    ) -> tuple[dict[str, Any], dict[str, jnp.ndarray]]:
+        """Camera-batch data-parallel step (see train/dp.py)."""
+        from .dp import dp_value_and_grad
 
-        grads, (loss, reg, psnr, aux) = jax.grad(loss_fn, has_aux=True)(state["params"])
+        rw = self._reg_weights(step)
+        k_render, k_bg = jax.random.split(key)
+        bg = jax.random.uniform(k_bg, gt_rgba[..., :3].shape)
+        grads, (loss, mse, reg), aux = dp_value_and_grad(
+            lambda p, cams, gt, bg_: self._local_loss(
+                p, cams, gt, bg_, rw, k_render
+            ),
+            state["params"], mesh, cameras, gt_rgba, bg,
+        )
+        return self._apply_grads(state, grads, loss, mse, reg, aux)
+
+    def _apply_grads(self, state, grads, loss, mse, reg, aux):
+        c = self.config
+        psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
         g = self._groups(grads)
         g["light"] = g["light"] * c.light_grad_scale
         g, nonfinite_grads = sanitize(g)

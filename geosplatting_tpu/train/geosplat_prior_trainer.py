@@ -81,7 +81,8 @@ class GeoSplatPriorTrainer:
     def init_state(self, params: dict) -> dict[str, Any]:
         return {"params": params, "opt_state": self.optimizers.init(self._groups(params))}
 
-    @functools.partial(jax.jit, static_argnames=("self",))
+    @functools.partial(jax.jit, static_argnames=("self",),
+                       donate_argnames=("state",))
     def train_step(
         self,
         state: dict[str, Any],

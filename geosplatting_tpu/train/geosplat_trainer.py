@@ -136,7 +136,37 @@ class GeoSplatTrainer:
             "ks_grad": _ramp(ks_begin, c.ks_grad_reg_end, c.ks_grad_reg_decay, step),
         }
 
-    @functools.partial(jax.jit, static_argnames=("self", "sampling"))
+    def _local_loss(self, params, cameras, gt_rgba, bg, rw, k_render, sampling):
+        """Per-shard loss: every batch-dependent term is a MEAN over the
+        local camera shard, so dp (train/dp.py) pmean's to the exact
+        full-batch value; reg/aux depend on params only (replicated)."""
+        c = self.config
+        rgba, reg, aux = self.model.render(
+            params, cameras, k_render,
+            reg_weights=rw,
+            kd_perturb_std=c.kd_perturb_std,
+            ks_perturb_std=c.ks_perturb_std,
+            sampling=sampling,
+        )
+        # loss in linear space w/ per-pixel random background
+        # (geosplat_trainer.py:169-180)
+        gt_linear = gimages.srgb2rgb(gt_rgba[..., :3])
+        mask = gt_rgba[..., 3:]
+        img1 = rgba[..., :3] + (1 - rgba[..., 3:]) * bg
+        img2 = gt_linear * mask + (1 - mask) * bg
+        loss = ssim_l1_loss(img1, img2)
+        if c.use_mask_loss:
+            loss = loss + 5.0 * jnp.mean((mask - rgba[..., 3:]) ** 2)
+        # sRGB-space MSE for the PSNR metric (log taken after any pmean)
+        pred_srgb = gimages.rgb2srgb(
+            jnp.clip(rgba[..., :3], 0, 1)
+        ) * rgba[..., 3:]
+        gt_srgb = gt_rgba[..., :3] * mask
+        mse = jnp.mean((pred_srgb - gt_srgb) ** 2)
+        return loss + reg, ((loss, mse, reg), aux)
+
+    @functools.partial(jax.jit, static_argnames=("self", "sampling"),
+                       donate_argnames=("state",))
     def train_step(
         self,
         state: dict[str, Any],
@@ -146,41 +176,51 @@ class GeoSplatTrainer:
         step: jnp.ndarray,
         sampling: str = "face",
     ) -> tuple[dict[str, Any], dict[str, jnp.ndarray]]:
-        c = self.config
         rw = self.reg_weights(step)
         k_render, k_bg = jax.random.split(key)
+        bg = jax.random.uniform(k_bg, gt_rgba[..., :3].shape)
 
-        def loss_fn(params):
-            rgba, reg, aux = self.model.render(
-                params, cameras, k_render,
-                reg_weights=rw,
-                kd_perturb_std=c.kd_perturb_std,
-                ks_perturb_std=c.ks_perturb_std,
-                sampling=sampling,
-            )
-            # loss in linear space w/ per-pixel random background
-            # (geosplat_trainer.py:169-180)
-            gt_linear = gimages.srgb2rgb(gt_rgba[..., :3])
-            mask = gt_rgba[..., 3:]
-            bg = jax.random.uniform(k_bg, rgba[..., :3].shape)
-            img1 = rgba[..., :3] + (1 - rgba[..., 3:]) * bg
-            img2 = gt_linear * mask + (1 - mask) * bg
-            loss = ssim_l1_loss(img1, img2)
-            if c.use_mask_loss:
-                loss = loss + 5.0 * jnp.mean((mask - rgba[..., 3:]) ** 2)
-            # sRGB-space PSNR metric against black bg (splat-psnr analog)
-            pred_srgb = gimages.rgb2srgb(
-                jnp.clip(rgba[..., :3], 0, 1)
-            ) * rgba[..., 3:]
-            gt_srgb = gt_rgba[..., :3] * mask
-            psnr = -10.0 * jnp.log10(
-                jnp.maximum(jnp.mean((pred_srgb - gt_srgb) ** 2), 1e-12)
-            )
-            return loss + reg, (loss, reg, psnr, aux)
+        grads, ((loss, mse, reg), aux) = jax.grad(
+            lambda p: self._local_loss(
+                p, cameras, gt_rgba, bg, rw, k_render, sampling
+            ),
+            has_aux=True,
+        )(state["params"])
+        return self._apply_grads(state, grads, loss, mse, reg, aux)
 
-        grads, (loss, reg, psnr, aux) = jax.grad(loss_fn, has_aux=True)(
-            state["params"]
+    @functools.partial(jax.jit, static_argnames=("self", "sampling", "mesh"),
+                       donate_argnames=("state",))
+    def train_step_dp(
+        self,
+        state: dict[str, Any],
+        cameras: Cameras,
+        gt_rgba: jnp.ndarray,
+        key: jax.Array,
+        step: jnp.ndarray,
+        mesh,                     # jax.sharding.Mesh with a 'dp' axis
+        sampling: str = "face",
+    ) -> tuple[dict[str, Any], dict[str, jnp.ndarray]]:
+        """Camera-batch data-parallel step: each device renders its camera
+        shard (the per-camera lax.map is sequential, so shard_map — not
+        sharding annotations — is what splits it); one pmean over ICI merges
+        gradients. Equal to ``train_step`` up to float reassociation."""
+        from .dp import dp_value_and_grad
+
+        rw = self.reg_weights(step)
+        k_render, k_bg = jax.random.split(key)
+        bg = jax.random.uniform(k_bg, gt_rgba[..., :3].shape)
+
+        grads, (loss, mse, reg), aux = dp_value_and_grad(
+            lambda p, cams, gt, bg_: self._local_loss(
+                p, cams, gt, bg_, rw, k_render, sampling
+            ),
+            state["params"], mesh, cameras, gt_rgba, bg,
         )
+        return self._apply_grads(state, grads, loss, mse, reg, aux)
+
+    def _apply_grads(self, state, grads, loss, mse, reg, aux):
+        c = self.config
+        psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
         g = self._groups(grads)
         g["light"] = g["light"] * c.light_grad_scale  # cubemap grad x64 hook
         g, nonfinite_grads = sanitize(g)

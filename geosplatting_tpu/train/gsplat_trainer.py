@@ -98,7 +98,8 @@ class GSplatTrainer:
         }
 
     # ---- the jitted hot step ---------------------------------------------------
-    @functools.partial(jax.jit, static_argnames=("self", "max_sh_degree"))
+    @functools.partial(jax.jit, static_argnames=("self", "max_sh_degree"),
+                       donate_argnames=("state",))
     def train_step(
         self,
         state: dict[str, Any],

@@ -12,8 +12,9 @@ Knobs: N (1572864), RES (800), PAIRS_BUDGET (1800000), REPS (5).
 Kernel-variant knobs (read by ops/rasterize_pairs.py at import):
   GEOS_SCAN_IMPL=roll|matmul   in-chunk prefix scan: VPU roll ladder vs one
                                [KC, KC] MXU triangular matmul
-  GEOS_SCAN_PREC=high|highest|default   matmul-scan precision
-  GEOS_MOMENT_PREC=highest|high|default backward moment-matmul precision
+  GEOS_SCAN_PREC=highest|default    matmul-scan precision
+  GEOS_MOMENT_PREC=highest|default  backward moment-matmul precision
+  ('high' is rejected: Mosaic's dot lowering has no Precision.HIGH path)
 """
 from __future__ import annotations
 
@@ -23,6 +24,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import os as _os
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_geosplatting")
 import jax
 import jax.numpy as jnp
 
@@ -121,7 +124,11 @@ def main():
         ), flush=True)
         if os.environ.get("GRAD_DUMP"):
             import numpy as np
-            np.savez(os.environ["GRAD_DUMP"],
+            # suffix the kc so multi-point KC_SWEEP runs don't overwrite
+            base = os.environ["GRAD_DUMP"]
+            if base.endswith(".npz"):
+                base = base[:-4]
+            np.savez(f"{base}_kc{kc}.npz",
                      **{nm: np.asarray(g) for nm, g in zip(names, grads)})
 
 

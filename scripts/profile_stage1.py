@@ -12,6 +12,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import os as _os
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_geosplatting")
 import jax
 import jax.numpy as jnp
 
@@ -78,17 +80,22 @@ def main():
     float(m["loss"])
     print(f"warmup {time.time() - t0:.1f}s", flush=True)
 
-    t0 = time.time()
+    times = []
     for step in range(STEPS):
         key, sub = jax.random.split(key)
+        t0 = time.time()
         state, m = trainer.train_step(
             state, cams, gt, sub, jnp.asarray(step + 200, jnp.float32),
             sampling=trainer.sampling_at(200),
         )
-    loss = float(m["loss"])
-    dt = time.time() - t0
+        loss = float(m["loss"])  # blocks
+        times.append(time.time() - t0)
+        print(f"  step {step}: {times[-1]:.3f}s loss={loss:.4f}", flush=True)
+    times.sort()
+    med = times[len(times) // 2]
     print(f"pair_fill {float(m.get('pair_fill', -1)):.3f} face_fill {float(m.get('face_fill', -1)):.3f}")
-    print(f"stage1 {STEPS / dt:.3f} it/s ({dt / STEPS * 1000:.0f} ms/step), "
+    print(f"stage1 median {1.0 / med:.3f} it/s ({med * 1000:.0f} ms/step; "
+          f"min {times[0] * 1000:.0f} max {times[-1] * 1000:.0f}), "
           f"loss={loss:.4f} gaussians={float(m['num_gaussians']):.0f}")
 
 

@@ -132,6 +132,7 @@ def test_stage1_task_run_and_resume(blender_scene, tmp_path, monkeypatch):
     assert "step 4:" in log
 
 
+@pytest.mark.chain
 def test_full_chain_via_tasks_and_eval(blender_scene, tmp_path):
     """The full 3-stage pipeline chained through TASKS (on-disk exports,
     stage-2/3 --load, standalone eval, relight API) — the task-layer

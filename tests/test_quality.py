@@ -15,7 +15,10 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
 
+
+@pytest.mark.chain
 def test_quality_chain_thresholds():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

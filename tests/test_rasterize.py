@@ -143,6 +143,56 @@ def test_sh_rendering():
     assert np.isfinite(np.asarray(render)).all()
 
 
+def test_pair_budget_overflow_drops_far_field():
+    """When total pairs exceed the static budget by 2x, the depth-priority
+    allocation (ops/rasterize_pairs.py bin_pairs) must drop the FARTHEST
+    gaussians' pairs, leaving the near field rendered correctly — not
+    whichever gaussians happen to have high indices."""
+    viewmat, K = lookat_matrices()
+    key = jax.random.key(11)
+    k1, k2 = jax.random.split(key)
+    # far wall: many gaussians well behind the near cluster, listed FIRST so
+    # index-order truncation would keep them and drop the near field
+    n_far = 2048
+    far_means = jax.random.uniform(k1, (n_far, 3), minval=-1.0, maxval=1.0) * 0.6
+    near_dir = gmath.safe_normalize(jnp.array([2.0, 1.0, 1.5]))
+    n_near = 48
+    near_means = (
+        jax.random.uniform(k2, (n_near, 3), minval=-0.15, maxval=0.15)
+        + near_dir * 0.9  # between camera (at 2,1,1.5) and the far wall
+    )
+    means = jnp.concatenate([far_means, near_means])
+    n = n_far + n_near
+    quats = gmath.safe_normalize(jax.random.normal(jax.random.key(1), (n, 4)))
+    scales = jnp.exp(jax.random.uniform(
+        jax.random.key(2), (n, 3), minval=-3.0, maxval=-2.0))
+    opacities = jnp.full((n,), 0.98)
+    colors = jax.random.uniform(jax.random.key(3), (n, 3))
+
+    kwargs = dict(rasterize_mode="classic", backend="pairs")
+    full, full_a, info_full = rasterize(
+        means, quats, scales, opacities, colors, viewmat, K, WIDTH, HEIGHT,
+        **kwargs)
+    total = int(info_full["total_pairs"])
+    assert total <= int(info_full["max_pairs"])
+    budget = max(total // 2, 1 << 12)
+    trunc, trunc_a, info = rasterize(
+        means, quats, scales, opacities, colors, viewmat, K, WIDTH, HEIGHT,
+        max_pairs_override=budget, **kwargs)
+    assert int(info["total_pairs"]) > int(info["max_pairs"])  # real overflow
+    # pixels dominated by the near cluster must be unchanged: compare where
+    # the near cluster ALONE saturates (far-wall-only pixels legitimately
+    # change when far pairs are dropped)
+    _, near_a, _ = rasterize(
+        means[n_far:], quats[n_far:], scales[n_far:], opacities[n_far:],
+        colors[n_far:], viewmat, K, WIDTH, HEIGHT, **kwargs)
+    err = np.abs(np.asarray(full) - np.asarray(trunc))
+    near_px = np.asarray(near_a)[..., 0] > 0.995
+    assert near_px.mean() > 0.005  # the cluster actually covers pixels
+    assert err[near_px].max() < 0.05
+    assert err[near_px].mean() < 5e-3
+
+
 def test_tile_truncation_keeps_front():
     """With a tiny tile capacity the nearest Gaussians must win."""
     viewmat, K = lookat_matrices()
