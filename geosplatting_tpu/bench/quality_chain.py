@@ -51,8 +51,12 @@ def run_quality_chain(
     seed: int = 0,
     env_quality: str = "fast",
     fast_metrics: bool = True,
+    pairs_budget: int | None = None,
     log=lambda msg: None,
 ) -> dict[str, Any]:
+    import time as _time
+
+    stage_times: dict[str, float] = {}
     key = jax.random.key(seed)
     rng = np.random.default_rng(seed)
 
@@ -76,7 +80,7 @@ def run_quality_chain(
     s1 = GeoSplatter(
         resolution=grid_res, light_resolution=light_resolution, scale=1.0,
         tile_capacity=tile_capacity, tile_chunk=tile_chunk,
-        env_quality=env_quality,
+        env_quality=env_quality, pairs_budget=pairs_budget,
     )
     p1 = s1.init(jax.random.key(1))
     grid = s1.make_grid()
@@ -89,15 +93,21 @@ def run_quality_chain(
         s1,
     )
     st1 = t1.init_state(p1)
+    _t0 = _t1 = _time.time()
     for step, idx in batches(s1_steps):
         key, sub = jax.random.split(key)
         st1, m1 = t1.train_step(
             st1, train_cams[idx], gt_train[idx], sub,
             jnp.asarray(step, jnp.float32), sampling=t1.sampling_at(step),
         )
+        if step == 0:
+            float(m1["loss"]); _t1 = _time.time()
         if step % 50 == 0:
             log(f"  s1 step {step}: loss={float(m1['loss']):.4f} "
                 f"psnr={float(m1['splat_psnr']):.2f}")
+    stage_times['s1_wall_s'] = round(_time.time() - _t0, 1)
+    stage_times['s1_s_per_step'] = round((_time.time() - _t1) / max(s1_steps - 1, 1), 3)
+    log(f"  s1 wall {stage_times['s1_wall_s']}s, steady {stage_times['s1_s_per_step']} s/step")
     export1 = export_stage1(s1, st1["params"])
     s1_psnr = float(m1["splat_psnr"])
 
@@ -106,6 +116,7 @@ def run_quality_chain(
     s2 = GeoSplatterMC(
         resolution=grid_res, scale=1.0, tile_capacity=tile_capacity,
         tile_chunk=tile_chunk, num_samples_x=train_spp_x,
+        pairs_budget=pairs_budget,
     )
     p2 = s2.init_from_stage1(export1, jax.random.key(2))
     t2 = GeoSplatMCTrainer(
@@ -116,15 +127,21 @@ def run_quality_chain(
         s2,
     )
     st2 = t2.init_state(p2)
+    _t0 = _t1 = _time.time()
     for step, idx in batches(s2_steps):
         key, sub = jax.random.split(key)
         st2, m2 = t2.train_step(
             st2, train_cams[idx], gt_train[idx], sub,
             jnp.asarray(step, jnp.float32),
         )
+        if step == 0:
+            float(m2["loss"]); _t1 = _time.time()
         if step % 25 == 0:
             log(f"  s2 step {step}: loss={float(m2['loss']):.4f} "
                 f"psnr={float(m2['splat_psnr']):.2f}")
+    stage_times['s2_wall_s'] = round(_time.time() - _t0, 1)
+    stage_times['s2_s_per_step'] = round((_time.time() - _t1) / max(s2_steps - 1, 1), 3)
+    log(f"  s2 wall {stage_times['s2_wall_s']}s, steady {stage_times['s2_s_per_step']} s/step")
     export2 = s2.export_model(st2["params"], jax.random.key(3))
 
     # ---- stage 3 ----------------------------------------------------------
@@ -132,6 +149,7 @@ def run_quality_chain(
     s3 = GeoSplatterDefer(
         resolution=grid_res, scale=1.0, tile_capacity=tile_capacity,
         tile_chunk=tile_chunk, num_samples_x=train_spp_x,
+        pairs_budget=pairs_budget,
     )
     p3 = s3.init_from_stage2(export2, jax.random.key(4))
     geom = s3.frozen_geometry(export2)
@@ -139,19 +157,25 @@ def run_quality_chain(
         GeoSplatDeferTrainerConfig(num_steps=s3_steps, batch_size=batch), s3
     )
     st3 = t3.init_state(p3)
+    _t0 = _t1 = _time.time()
     for step, idx in batches(s3_steps):
         key, sub = jax.random.split(key)
         st3, m3 = t3.train_step(
             st3, geom, train_cams[idx], gt_train[idx], sub,
             jnp.asarray(step, jnp.float32),
         )
+        if step == 0:
+            float(m3["loss"]); _t1 = _time.time()
         if step % 25 == 0:
             log(f"  s3 step {step}: loss={float(m3['loss']):.4f} "
                 f"psnr={float(m3['splat_psnr']):.2f}")
+    stage_times['s3_wall_s'] = round(_time.time() - _t0, 1)
+    stage_times['s3_s_per_step'] = round((_time.time() - _t1) / max(s3_steps - 1, 1), 3)
+    log(f"  s3 wall {stage_times['s3_wall_s']}s, steady {stage_times['s3_s_per_step']} s/step")
     params3 = st3["params"]
 
     # ---- evaluation (test_geosplat_defer.py:407-493 metric path) ----------
-    results: dict[str, Any] = {"s1_train_psnr": s1_psnr}
+    results: dict[str, Any] = {"s1_train_psnr": s1_psnr, **stage_times}
     eval_spp = max(gt_spp_x // 2, 8)
 
     log("eval: NVS...")

@@ -20,9 +20,10 @@ TPU-first design (no CUDA atomics / warp scans):
    (MXU). Tiles are processed in checkpointed chunks so the autodiff
    backward recomputes instead of storing [T, K, P] intermediates.
 
-A Pallas kernel path with a hand-written VJP lives in
-``rasterize_pallas.py``; this file is the reference/autodiff path and the
-shared binning frontend.
+The Pallas kernel path with a hand-written VJP lives in
+``rasterize_pairs.py`` (the single accelerator backend); this file is the
+reference/autodiff path (the single CPU/test backend) and the shared
+binning frontend.
 """
 from __future__ import annotations
 
@@ -452,7 +453,7 @@ def rasterize_projected(
             proj.opacities, colors, proj.depths,
         )
         total_pairs = pbins.total_pairs
-    else:
+    elif backend == "reference":
         bins = bin_gaussians(
             proj, width, height,
             tile_size=tile_size, max_pairs=max_pairs,
@@ -463,18 +464,16 @@ def rasterize_projected(
         tile_origin = jnp.stack(
             (tx.reshape(-1) * tile_size, ty.reshape(-1) * tile_size), axis=-1
         ).astype(jnp.float32)
-        if backend == "pallas_dense":
-            from .rasterize_pallas import composite_tiles_pallas as _composite
-            tiles_c, tiles_a, tiles_d = _composite(
-                bins.tile_gid, tile_origin, proj.means2d, proj.conics,
-                proj.opacities, colors, proj.depths, tile_size=tile_size,
-            )
-        else:
-            tiles_c, tiles_a, tiles_d = composite_tiles_reference(
-                bins.tile_gid, tile_origin, proj.means2d, proj.conics,
-                proj.opacities, colors, proj.depths,
-                tile_size=tile_size, tile_chunk=tile_chunk,
-            )
+        tiles_c, tiles_a, tiles_d = composite_tiles_reference(
+            bins.tile_gid, tile_origin, proj.means2d, proj.conics,
+            proj.opacities, colors, proj.depths,
+            tile_size=tile_size, tile_chunk=tile_chunk,
+        )
+    else:
+        # one backend per role (VERDICT r2 #10): 'pairs' on accelerators,
+        # 'reference' on CPU; the dense [T, K_cap] tile-table kernels
+        # ('pallas_dense') were superseded by the pair kernels and deleted
+        raise ValueError(f"unknown backend: {backend}")
 
     img_c = _tiles_to_image(tiles_c, tw, th, tile_size, height, width)
     img_a = _tiles_to_image(tiles_a[..., None], tw, th, tile_size, height, width)

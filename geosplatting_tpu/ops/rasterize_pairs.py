@@ -179,11 +179,14 @@ def bin_pairs(
     )
 
     # one fused row-gather permutes the expansion record into depth order
-    # (a single [N, 5] gather instead of five 1-D gathers), then the slot
-    # layout (cumsum/starts) is computed over the permuted counts
+    # (a single [N, 6] gather instead of six 1-D gathers; the original
+    # gaussian id rides along as a column so mapping slots back to ids costs
+    # nothing extra), then the slot layout (cumsum/starts) follows the
+    # permuted counts
     rec = jnp.stack(
-        (ntiles, tx0, ty0, jnp.maximum(bw, 1), dq), axis=-1
-    )[order]                                           # [N, 5]
+        (ntiles, tx0, ty0, jnp.maximum(bw, 1), dq,
+         jnp.arange(n, dtype=jnp.int32)), axis=-1
+    )[order]                                           # [N, 6]; col 5 = orig id
     offsets = jnp.cumsum(rec[:, 0])
     total = offsets[-1]
     starts = offsets - rec[:, 0]
@@ -195,13 +198,12 @@ def bin_pairs(
         offsets, slot, side="right", method="sort"
     ).astype(jnp.int32)
     rank = jnp.minimum(rank, n - 1)
-    e = exp_rec[rank]                                  # [max_pairs, 5]
+    e = exp_rec[rank]                                  # [max_pairs, 6]
     local = slot - e[:, 0]
     tile_id = (e[:, 2] + local // e[:, 3]) * tw + (e[:, 1] + local % e[:, 3])
     in_range = slot < jnp.minimum(total, max_pairs)
     tile_id = jnp.where(in_range, tile_id, num_tiles)
-    gid = order[rank]                                  # back to original ids
-    pair_gid = jnp.where(in_range, gid, n).astype(jnp.int32)
+    pair_gid = jnp.where(in_range, e[:, 5], n).astype(jnp.int32)
 
     key = tile_id * (1 << depth_bits) + jnp.where(in_range, e[:, 4], 0)
     sorted_key, sorted_gid, sorted_pos = jax.lax.sort(

@@ -18,6 +18,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_geosplatting")
+
 from geosplatting_tpu.bench.quality_chain import run_quality_chain
 
 
@@ -39,6 +41,10 @@ def main() -> None:
         seed=int(os.environ.get("QB_SEED", 0)),
         env_quality=os.environ.get("QB_ENV_QUALITY", "fast"),
         fast_metrics=os.environ.get("QB_FAST_METRICS", "1") == "1",
+        pairs_budget=(
+            int(os.environ["QB_PAIRS_BUDGET"])
+            if "QB_PAIRS_BUDGET" in os.environ else None
+        ),
         log=lambda m: print(m, flush=True),
     )
     r["wall_s"] = round(time.time() - t0, 1)
