@@ -233,7 +233,7 @@ def rasterize(
     means2d_offset: jnp.ndarray | None = None,
     tile_chunk: int = 8,
     backend: str = "auto",
-    chunk_size: int = 128,
+    chunk_size: int = 256,
     lim_override: tuple | None = None,
     max_pairs_override: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
@@ -286,7 +286,7 @@ def bin_cameras_batched(
     tile_size: int = 16,
     pairs_per_gaussian: int = 8,
     max_pairs_override: int | None = None,
-    chunk_size: int = 128,
+    chunk_size: int = 256,
 ):
     """Projection + pair binning vmapped over the camera batch.
 
@@ -370,7 +370,7 @@ def rasterize_batched(
     tile_size: int = 16,
     pairs_per_gaussian: int = 8,
     max_pairs_override: int | None = None,
-    chunk_size: int = 128,
+    chunk_size: int = 256,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Batched-camera rasterization on the pairs backend: vmapped binning
     (``bin_cameras_batched``) + a per-camera scan of the composite kernels.
@@ -412,7 +412,7 @@ def rasterize_projected(
     render_mode: str = "RGB",
     tile_chunk: int = 8,
     backend: str = "auto",
-    chunk_size: int = 128,
+    chunk_size: int = 256,
     max_pairs_override: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Binning + compositing on an already-projected Gaussian set — the

@@ -1,7 +1,8 @@
 """Pair-centric tile rasterization backend — gather-minimal Pallas TPU kernels.
 
-Replaces the dense [T, K_cap] tile-table path (``rasterize_pallas.py``) for the
-hot training loop. Motivation (measured on v5e): XLA arbitrary-index gathers
+The single accelerator backend (the dense [T, K_cap] tile-table kernels it
+replaced are deleted; ``rasterize.py``'s XLA reference path serves CPU/tests).
+Motivation (measured on v5e): XLA arbitrary-index gathers
 and segment-sums dominate the old path (~5-9 ns per gathered index; the
 [T, K, C] parameter gather + 1.9M-row segment-sum cost more than all kernel
 compute), while ``lax.sort`` is nearly free (<0.5 ms for 300k keys). This
@@ -76,6 +77,10 @@ _MOMENT_PREC = _prec("GEOS_MOMENT_PREC", "highest")
 #   'roll'   — log2(KC) pltpu.roll ladder passes on the VPU (default)
 #   'matmul' — one [KC, KC] triangular matmul on the MXU (re-admits a full
 #              [KC, P] exp in exchange for killing the ladder passes)
+# Measured A/B at the stage-1 production shape (BASELINE.md): at kc=128
+# matmul wins 16%, but kc=256+roll wins 18% and kc=256+matmul gives it all
+# back (the [256,256] HIGHEST triangular matmul costs 6 MXU passes) — so
+# the defaults are kc=256 + roll.
 _SCAN_IMPL = os.environ.get("GEOS_SCAN_IMPL", "roll")
 _SCAN_PREC = _prec("GEOS_SCAN_PREC", "highest")
 
