@@ -144,6 +144,10 @@ class _TrainTaskBase:
     dashboard: bool = False        # live rich dashboard (train.py:58-70)
     turntable: str = "disable"     # '+z' | '+y' enables turntable vis frames
     load: Path | None = None       # previous-stage output dir (export input)
+    # in-training visualization (reference: live viser server,
+    # engine/train.py:72; no browser in this env): every N steps write a
+    # standalone HTML splat viewer snapshot under <run>/vis_html/
+    vis_export_every: int = 0
 
     # ---- subclass hooks ----------------------------------------------------
     def build(self, dataset: Dataset, key) -> tuple[Any, Any]:
@@ -165,6 +169,12 @@ class _TrainTaskBase:
 
     def after_update(self, model, trainer, state, step, key, last_wh):
         return state
+
+    def vis_splats(self, model, trainer, state, key):
+        """-> Splats (or a means/scales/quats/opacities/colors dict) for the
+        periodic HTML viewer snapshot, or None if the family has no cheap
+        splat view."""
+        return None
 
     # ---- data parallelism (SURVEY §2.11) ------------------------------------
     def _maybe_dp_state(self, state):
@@ -251,6 +261,19 @@ class _TrainTaskBase:
                         exp.dump_image(
                             f"vis/{step + 1:06d}.png", np.asarray(frame[0])
                         )
+                if (
+                    self.vis_export_every > 0
+                    and (step + 1) % self.vis_export_every == 0
+                ):
+                    key, sub = jax.random.split(key)
+                    sp = self.vis_splats(model, trainer, state, sub)
+                    if sp is not None:
+                        from ..visualization.viewer_html import vis_3dgs
+
+                        out = vis_3dgs(
+                            sp, exp.base_dir / "vis_html" / f"{step + 1:06d}.html"
+                        )
+                        exp.log(f"vis_html snapshot: {out}")
 
                 if (step + 1) % self.num_steps_per_val == 0 or step + 1 == self.num_steps:
                     key, sub = jax.random.split(key)
@@ -392,6 +415,32 @@ class GeoSplatTrainTask(_TrainTaskBase):
         )
         rgb = gimages.rgb2srgb(jnp.clip(rgba[..., :3], 0, 1)) * rgba[..., 3:]
         return jnp.concatenate((rgb, rgba[..., 3:]), -1)
+
+    def vis_splats(self, model, trainer, state, key):
+        if not hasattr(self, "_vis_fn"):
+            from ..models.geosplat import get_gaussians_from_face
+
+            @jax.jit
+            def fn(params):
+                mesh, _, _ = model.get_geometry(params)
+                splats, attrs, _, valid = get_gaussians_from_face(
+                    model.field, params["field"], mesh, scale=model.scale,
+                    initial_guess=model.initial_guess_bias(),
+                    max_faces=model.max_render_faces,
+                    eval_chunk=model.field_eval_chunk,
+                )
+                return splats, attrs.kd, valid
+
+            self._vis_fn = fn
+        splats, kd, valid = self._vis_fn(state["params"])
+        keep = np.asarray(valid)
+        return {
+            "means": np.asarray(splats.means)[keep],
+            "scales": np.asarray(splats.scales)[keep],
+            "quats": np.asarray(splats.quats)[keep],
+            "opacities": np.asarray(splats.opacities)[keep],
+            "colors": np.clip(np.abs(np.asarray(kd)[keep]), 0, 1),
+        }
 
     def export(self, model, trainer, state, key):
         from ..models.geosplat_mc import export_stage1
@@ -544,6 +593,15 @@ class GeoSplatDeferTrainTask(_TrainTaskBase):
         rgba, _, _ = model.render(state["params"], geom, cams, key)
         rgb = gimages.rgb2srgb(jnp.clip(rgba[..., :3], 0, 1)) * rgba[..., 3:]
         return jnp.concatenate((rgb, rgba[..., 3:]), -1)
+
+    def vis_splats(self, model, trainer, state, key):
+        # stage-3 gaussians are direct parameters — zero extra compute
+        p = state["params"]
+        return {
+            "means": p["means"], "scales": p["scales"], "quats": p["quats"],
+            "opacities": p["opacities"],
+            "colors": jnp.clip(p["kd"], 0, 1),
+        }
 
     def export(self, model, trainer, state, key):
         # stage-3 output = final params + frozen geometry (the eval surface)
@@ -708,8 +766,10 @@ class GSplatTrainTask(_TrainTaskBase):
         outs = [one(cams[i]) for i in range(cams.shape[0])]
         return jnp.stack(outs)
 
-    def export(self, model, trainer, state, key):
+    def vis_splats(self, model, trainer, state, key):
         from ..train.gsplat_trainer import params_to_splats
 
-        splats = params_to_splats(state["params"])
+        return params_to_splats(state["params"])
+
+    def export(self, model, trainer, state, key):
         return {k: v for k, v in state["params"].items()}

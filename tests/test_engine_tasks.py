@@ -235,6 +235,24 @@ def test_gsplat_task_runs(blender_scene, tmp_path, monkeypatch):
     assert np.isfinite(out["loss"])
 
 
+def test_gsplat_task_vis_export(blender_scene, tmp_path, monkeypatch):
+    """--vis_export_every writes standalone HTML splat-viewer snapshots
+    during training (the env-constrained stand-in for the reference's live
+    viser server, engine/train.py:72)."""
+    monkeypatch.chdir(tmp_path)
+    task = GSplatTrainTask(
+        dataset_path=blender_scene, experiment_name="t-gs-vis",
+        num_steps=2, batch_size=1, num_steps_per_save=2, num_steps_per_val=2,
+        num_val_images=1, scale_factor=SF, num_init_gaussians=256,
+        sh_degree=0, tile_capacity=128, vis_export_every=1,
+    )
+    out = task.run()
+    run_dir = Path(out["output_dir"])
+    snaps = sorted((run_dir / "vis_html").glob("*.html"))
+    assert len(snaps) == 2
+    assert "<html" in snaps[0].read_text()[:2000].lower()
+
+
 def test_gsplat_task_data_parallel(blender_scene, tmp_path, monkeypatch):
     """The dp flag shards the camera batch over the 8-device CPU mesh and
     the loop runs unchanged (grad psum inserted by XLA from shardings)."""
