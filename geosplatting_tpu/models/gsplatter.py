@@ -34,7 +34,7 @@ class GSplatter:
     tile_capacity: int = 1024
     pairs_per_gaussian: int = 8
     tile_chunk: int = 8
-    chunk_size: int = 256
+    chunk_size: int = 128  # 50k-scale workloads measured ~4% faster at 128 (BASELINE.md)
     backend: str = "auto"
     camera_batching: str = "map"  # 'map' (sequential) | 'vmap' (batched sorts/kernels)
 
