@@ -49,7 +49,7 @@ STEPS = int(os.environ.get("BENCH_STEPS", 10))
 S1_GRID = int(os.environ.get("BENCH_S1_GRID", 96))
 S1_STEPS = int(os.environ.get("BENCH_S1_STEPS", 5))
 S1_WARMUP = int(os.environ.get("BENCH_S1_WARMUP", 3))
-S1_PAIRS_BUDGET = int(os.environ.get("BENCH_S1_PAIRS_BUDGET", 1_800_000))
+S1_PAIRS_BUDGET = int(os.environ.get("BENCH_S1_PAIRS_BUDGET", 1_400_000))
 S1_BATCHED = os.environ.get("BENCH_S1_BATCHED", "0") == "1"
 RUN_S1 = os.environ.get("BENCH_STAGE1", "1") == "1"
 RUN_GS = os.environ.get("BENCH_GSPLAT", "1") == "1"

@@ -652,7 +652,7 @@ def shade_splitsum(
     tile_capacity: int = 1024,
     pairs_per_gaussian: int = 6,
     pairs_budget: int | None = None,
-    chunk_size: int = 256,
+    chunk_size: int = 128,
     tile_chunk: int = 8,
     backend: str = "auto",
     env_quality: str = "fast",   # 'fast' (nearest env + analytic FG) | 'exact'
@@ -750,7 +750,7 @@ class GeoSplatter:
     pairs_per_gaussian: int = 3
     pairs_budget: int | None = None   # absolute screen-pair cap (see pair_fill)
     remat_mode: str = "shading"       # 'shading' (fast) | 'full' (low-memory)
-    chunk_size: int = 256             # pair-kernel chunk rows
+    chunk_size: int = 128             # pair-kernel chunk rows (tight-bounds binning re-flipped 256->128: BASELINE.md round-3 table)
     tile_chunk: int = 8
     env_num_samples: int = 64
     prefilter_method: str = "conv"   # 'conv' (fast, training) | 'sampled'

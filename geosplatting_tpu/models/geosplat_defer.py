@@ -52,7 +52,7 @@ class GeoSplatterDefer:
     tile_capacity: int = 1024
     pairs_per_gaussian: int = 6
     pairs_budget: int | None = None
-    chunk_size: int = 256
+    chunk_size: int = 128
     # vmap the gradient-free binning sorts over the camera batch
     # (see GeoSplatter.batched_binning); pairs backend only
     batched_binning: bool = False

@@ -71,7 +71,7 @@ class GeoSplatterMC:
     field_eval_chunk: int = 262144
     pairs_per_gaussian: int = 3
     pairs_budget: int | None = None
-    chunk_size: int = 256
+    chunk_size: int = 128
     # vmap the gradient-free binning sorts over the camera batch
     # (see GeoSplatter.batched_binning); pairs backend only
     batched_binning: bool = False

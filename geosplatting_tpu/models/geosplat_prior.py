@@ -61,7 +61,7 @@ class GeoSplatterPrior:
     field_eval_chunk: int = 262144
     pairs_per_gaussian: int = 6
     pairs_budget: int | None = None
-    chunk_size: int = 256
+    chunk_size: int = 128
     tile_chunk: int = 8
     backend: str = "auto"
 

@@ -26,6 +26,17 @@ class Projected(NamedTuple):
     conics: jnp.ndarray    # [N, 3] inverse cov2d (a, b, c) for axx+2bxy+cyy
     opacities: jnp.ndarray # [N] post-compensation opacities
     radii: jnp.ndarray     # [N] int32 screen radius (0 = culled)
+    # Opacity-aware tight bounds (None when constructed by callers that only
+    # have a circular radius, e.g. 2DGS — binning then falls back to radii).
+    # extents: per-axis half-widths of the alpha >= MIN_ALPHA region, clipped
+    # to the canonical 3-sigma radius. prune_r: sound circular bound on the
+    # same region (NOT clipped — the 3-sigma *square*'s corners reach
+    # sqrt(2) x radius and do contribute when opacity is high). Everything a
+    # tile-rect test or a center-distance test discards against these bounds
+    # is provably below the rasterizer's MIN_ALPHA keep-cutoff, so tighter
+    # binning is bit-exact with radius binning.
+    extents: jnp.ndarray | None = None  # [N, 2] float32 px
+    prune_r: jnp.ndarray | None = None  # [N] float32 px
 
 
 def project(
@@ -130,16 +141,37 @@ def project(
     lam = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
     radius = jnp.ceil(3.0 * jnp.sqrt(lam))
 
+    # opacity-aware tight bounds: alpha = op * exp(-sigma) clears MIN_ALPHA
+    # only where sigma <= log(op / MIN_ALPHA) =: t. The bbox of the level set
+    # {0.5 d^T conic d <= t} has per-axis half-widths sqrt(2t * cov_xx|yy)
+    # (cov = blurred cov2d = conic^-1), and sigma >= |d|^2 / (2 lam) bounds
+    # the whole set inside a circle of radius sqrt(2t * lam). Low-opacity /
+    # anisotropic Gaussians shrink far below the circular 3-sigma rect, which
+    # directly cuts (tile, gaussian) pair volume — the step-time driver.
+    t2 = 2.0 * jnp.log(jnp.maximum(op, 1e-8) * (1.0 / MIN_ALPHA))  # 2t
+    t2 = jnp.maximum(t2, 0.0)
+    # +0.01px pad: the bounds are tight exactly at the MIN_ALPHA level set,
+    # so a float-rounding sliver there could otherwise prune a pair whose
+    # kernel alpha lands a hair above the cutoff
+    ext_x = jnp.minimum(jnp.sqrt(t2 * a_b) + 0.01, radius)
+    ext_y = jnp.minimum(jnp.sqrt(t2 * c_b) + 0.01, radius)
+    prune_r = jnp.sqrt(t2 * lam) + 0.01
+
     valid = (
         (z > near)
         & (z < far)
         & (det > 1e-12)
         & (op > MIN_ALPHA)
-        & (mean2d[:, 0] + radius > 0)
-        & (mean2d[:, 0] - radius < width)
-        & (mean2d[:, 1] + radius > 0)
-        & (mean2d[:, 1] - radius < height)
+        & (mean2d[:, 0] + ext_x > 0)
+        & (mean2d[:, 0] - ext_x < width)
+        & (mean2d[:, 1] + ext_y > 0)
+        & (mean2d[:, 1] - ext_y < height)
         & (radius > radius_clip)
     )
     radii = jnp.where(valid, radius, 0.0).astype(jnp.int32)
-    return Projected(means2d=mean2d, depths=z, conics=conic, opacities=op, radii=radii)
+    keep = valid.astype(jnp.float32)
+    return Projected(
+        means2d=mean2d, depths=z, conics=conic, opacities=op, radii=radii,
+        extents=jnp.stack((ext_x * keep, ext_y * keep), axis=-1),
+        prune_r=prune_r * keep,
+    )

@@ -69,13 +69,20 @@ def bin_gaussians(
     num_tiles = tw * th
 
     means2d = jax.lax.stop_gradient(proj.means2d)
-    radii = proj.radii.astype(jnp.float32)
     valid = proj.radii > 0
 
-    tx0 = jnp.clip(jnp.floor((means2d[:, 0] - radii) / tile_size), 0, tw).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((means2d[:, 1] - radii) / tile_size), 0, th).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.ceil((means2d[:, 0] + radii) / tile_size), 0, tw).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.ceil((means2d[:, 1] + radii) / tile_size), 0, th).astype(jnp.int32)
+    # opacity-aware per-axis rect when the projection provides it (exact:
+    # everything outside is below the MIN_ALPHA keep-cutoff — see
+    # projection.Projected), circular radius rect otherwise (2DGS)
+    if proj.extents is not None:
+        rx = jax.lax.stop_gradient(proj.extents[:, 0])
+        ry = jax.lax.stop_gradient(proj.extents[:, 1])
+    else:
+        rx = ry = proj.radii.astype(jnp.float32)
+    tx0 = jnp.clip(jnp.floor((means2d[:, 0] - rx) / tile_size), 0, tw).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((means2d[:, 1] - ry) / tile_size), 0, th).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.ceil((means2d[:, 0] + rx) / tile_size), 0, tw).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.ceil((means2d[:, 1] + ry) / tile_size), 0, th).astype(jnp.int32)
     bw = jnp.maximum(tx1 - tx0, 0)
     bh = jnp.maximum(ty1 - ty0, 0)
     ntiles = jnp.where(valid, bw * bh, 0)
@@ -233,7 +240,7 @@ def rasterize(
     means2d_offset: jnp.ndarray | None = None,
     tile_chunk: int = 8,
     backend: str = "auto",
-    chunk_size: int = 256,
+    chunk_size: int = 128,
     lim_override: tuple | None = None,
     max_pairs_override: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
@@ -286,7 +293,7 @@ def bin_cameras_batched(
     tile_size: int = 16,
     pairs_per_gaussian: int = 8,
     max_pairs_override: int | None = None,
-    chunk_size: int = 256,
+    chunk_size: int = 128,
 ):
     """Projection + pair binning vmapped over the camera batch.
 
@@ -370,7 +377,7 @@ def rasterize_batched(
     tile_size: int = 16,
     pairs_per_gaussian: int = 8,
     max_pairs_override: int | None = None,
-    chunk_size: int = 256,
+    chunk_size: int = 128,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Batched-camera rasterization on the pairs backend: vmapped binning
     (``bin_cameras_batched``) + a per-camera scan of the composite kernels.
@@ -412,7 +419,7 @@ def rasterize_projected(
     render_mode: str = "RGB",
     tile_chunk: int = 8,
     backend: str = "auto",
-    chunk_size: int = 256,
+    chunk_size: int = 128,
     max_pairs_override: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
     """Binning + compositing on an already-projected Gaussian set — the

@@ -207,3 +207,89 @@ def test_tile_truncation_keeps_front():
         tile_capacity=32)
     # truncated render should still be close since occluded tails contribute little
     assert np.abs(np.asarray(full) - np.asarray(trunc)).mean() < 0.05
+
+
+def test_tight_bounds_prune_is_exact():
+    """Opacity-aware extents + the per-pair circle prune (bin_pairs) must cut
+    pair volume on anisotropic / low-opacity scenes WITHOUT changing the
+    image: everything discarded is provably below the MIN_ALPHA keep-cutoff,
+    so both backends must still match the brute-force reference exactly."""
+    from geosplatting_tpu.ops.projection import project as _project
+    from geosplatting_tpu.ops.rasterize import bin_gaussians as _bg
+
+    viewmat, K = lookat_matrices()
+    key = jax.random.key(21)
+    ks = jax.random.split(key, 5)
+    n = 400
+    means = jax.random.uniform(ks[0], (n, 3), minval=-1.0, maxval=1.0)
+    quats = gmath.safe_normalize(jax.random.normal(ks[1], (n, 4)))
+    # strongly anisotropic: one axis up to e^2 bigger
+    scales = jnp.exp(jnp.stack([
+        jax.random.uniform(ks[2], (n,), minval=-4.5, maxval=-2.0),
+        jax.random.uniform(ks[2], (n,), minval=-3.0, maxval=-1.5),
+        jax.random.uniform(ks[2], (n,), minval=-4.5, maxval=-3.5),
+    ], -1))
+    # mostly translucent: tight bounds shrink fast with opacity
+    opacities = jax.random.uniform(ks[3], (n,), minval=0.05, maxval=0.9)
+    colors = jax.random.uniform(ks[4], (n, 3))
+
+    from geosplatting_tpu.ops.rasterize import rasterize_projected
+
+    # reference backend (tight rect) must still match brute force exactly
+    render, alpha, _ = rasterize(
+        means, quats, scales, opacities, colors, viewmat, K,
+        WIDTH, HEIGHT, backend="reference", tile_capacity=512,
+    )
+    ref, ref_a, _ = brute_force_render(
+        means, quats, scales, opacities, colors, viewmat, K, WIDTH, HEIGHT)
+    np.testing.assert_allclose(render, ref, atol=3e-5)
+    np.testing.assert_allclose(alpha, ref_a, atol=3e-5)
+
+    # within the pairs backend, tight binning must be EQUIVALENT to the old
+    # circular-rect binning (same kernels, only provably-dead pairs removed)
+    # — and generate strictly fewer pairs on this scene. (Comparing tight
+    # against loose of the SAME backend sidesteps the backend's own
+    # transmittance-cutoff boundary jitter vs brute force.)
+    proj = _project(means, quats, scales, opacities, viewmat, K, WIDTH, HEIGHT)
+    tight_r, tight_a, tight_info = rasterize_projected(
+        proj, colors, WIDTH, HEIGHT, backend="pairs")
+    loose_r, loose_a, loose_info = rasterize_projected(
+        proj._replace(extents=None, prune_r=None), colors, WIDTH, HEIGHT,
+        backend="pairs")
+    np.testing.assert_allclose(tight_r, loose_r, atol=1e-5)
+    np.testing.assert_allclose(tight_a, loose_a, atol=1e-5)
+
+    # the tight rect must also shrink the generated pair volume itself
+    tight = int(_bg(proj, WIDTH, HEIGHT, tile_size=16, max_pairs=1 << 14,
+                    tile_capacity=64).total_pairs)
+    loose = int(_bg(proj._replace(extents=None, prune_r=None), WIDTH, HEIGHT,
+                    tile_size=16, max_pairs=1 << 14,
+                    tile_capacity=64).total_pairs)
+    assert tight < loose, (tight, loose)
+
+
+def test_all_culled_camera_renders_background():
+    """Camera looking away from every Gaussian: zero valid projections means
+    zero extents/prune_r everywhere — the binning must produce an empty pair
+    list and both backends must render pure background with finite grads."""
+    from geosplatting_tpu.graphics.cameras import Cameras
+
+    cam = Cameras.from_lookat(
+        jnp.array([5.0, 0.0, 0.0]), jnp.array([10.0, 0.0, 0.0]),
+        fov_degrees=60.0, width=WIDTH, height=HEIGHT,
+    )
+    means, quats, scales, opacities, colors = random_scene(jax.random.key(3))
+
+    for backend in ("reference", "pairs"):
+        def loss(m):
+            render, alpha, _ = rasterize(
+                m, quats, scales, opacities, colors,
+                cam.view_matrix, cam.intrinsic_matrix, WIDTH, HEIGHT,
+                backend=backend,
+            )
+            return render.sum() + alpha.sum(), (render, alpha)
+
+        (val, (render, alpha)), g = jax.value_and_grad(loss, has_aux=True)(means)
+        assert np.asarray(render).max() == 0.0, backend
+        assert np.asarray(alpha).max() == 0.0, backend
+        assert np.isfinite(np.asarray(g)).all(), backend
