@@ -100,8 +100,12 @@ def run_quality_chain(
             st1, train_cams[idx], gt_train[idx], sub,
             jnp.asarray(step, jnp.float32), sampling=t1.sampling_at(step),
         )
+        # block EVERY step (ADVICE r3): unblocked dispatch both skews the
+        # stage timings (queued work lands after the end-of-loop timestamp)
+        # and recreates the HBM-overcommit spill the bench postmortem fixed
+        float(m1["loss"])
         if step == 0:
-            float(m1["loss"]); _t1 = _time.time()
+            _t1 = _time.time()
         if step % 50 == 0:
             log(f"  s1 step {step}: loss={float(m1['loss']):.4f} "
                 f"psnr={float(m1['splat_psnr']):.2f}")
@@ -134,8 +138,9 @@ def run_quality_chain(
             st2, train_cams[idx], gt_train[idx], sub,
             jnp.asarray(step, jnp.float32),
         )
+        float(m2["loss"])  # block each step (see stage-1 loop)
         if step == 0:
-            float(m2["loss"]); _t1 = _time.time()
+            _t1 = _time.time()
         if step % 25 == 0:
             log(f"  s2 step {step}: loss={float(m2['loss']):.4f} "
                 f"psnr={float(m2['splat_psnr']):.2f}")
@@ -164,8 +169,9 @@ def run_quality_chain(
             st3, geom, train_cams[idx], gt_train[idx], sub,
             jnp.asarray(step, jnp.float32),
         )
+        float(m3["loss"])  # block each step (see stage-1 loop)
         if step == 0:
-            float(m3["loss"]); _t1 = _time.time()
+            _t1 = _time.time()
         if step % 25 == 0:
             log(f"  s3 step {step}: loss={float(m3['loss']):.4f} "
                 f"psnr={float(m3['splat_psnr']):.2f}")

@@ -22,6 +22,13 @@ from ..io import load_float32_image, load_masked_image, resize_image
 IMAGE_WH = 800
 
 
+def _srgb_encode(x: np.ndarray) -> np.ndarray:
+    """Exact sRGB OETF (matches graphics.images.rgb2srgb), numpy host-side."""
+    return np.where(
+        x <= 0.0031308, x * 12.92, 1.055 * np.power(np.maximum(x, 1e-12), 1 / 2.4) - 0.055
+    ).astype(np.float32)
+
+
 @dataclasses.dataclass(frozen=True)
 class ParsedSplit:
     c2w: np.ndarray        # [N, 3, 4]
@@ -45,6 +52,12 @@ class ParsedSplit:
     # parser-level resize applied on top of the dataset's scale_factor (IDR/
     # ORB store full-res files but half/0.4-res intrinsics)
     image_scale: float | None = None
+    # S4R stores train frames as LINEAR HDR (.exr/.hdr) while the contract
+    # of load_images (and the trainers' srgb2rgb) is sRGB-encoded values —
+    # the reference routes these through PBRAImages + rgb2srgb tone mapping
+    # (syn4relight_dataparser.py:120, geosplat_trainer.py:163); setting this
+    # applies the same encode at load for HDR-suffixed frames
+    hdr_to_srgb: bool = False
 
     def _total_scale(self, scale_factor: float | None) -> float | None:
         a = self.image_scale
@@ -69,6 +82,11 @@ class ParsedSplit:
         for i, p in enumerate(self.image_paths):
             mask = self.mask_paths[i] if self.mask_paths else None
             img = load_masked_image(p, mask)
+            if self.hdr_to_srgb and Path(p).suffix.lower() in (".exr", ".hdr"):
+                img = np.concatenate(
+                    (_srgb_encode(np.clip(img[..., :3], 0.0, 1.0)),
+                     img[..., 3:]), axis=-1,
+                )
             if total is not None:
                 img = resize_image(img, total)
             if self.alpha_color is not None and img.shape[-1] == 4:
@@ -174,6 +192,13 @@ class MaskedBlenderDataparser:
     recognize = staticmethod(BlenderDataparser.recognize)
 
 
+def _exr_or_hdr(p: Path) -> Path:
+    """S4R stores HDR frames/envmaps as .exr; this image has no EXR plugin
+    (zero egress), so synthetic S4R-layout scenes generated in-repo write
+    Radiance .hdr instead — accept either, preferring what exists."""
+    return p if p.exists() else p.with_suffix(".hdr")
+
+
 @dataclasses.dataclass(frozen=True)
 class Syn4RelightDataparser:
     """Synthetic4Relight (syn4relight_dataparser.py:20-137)."""
@@ -204,15 +229,19 @@ class Syn4RelightDataparser:
                         "envmap12": [path / "test_rli" / f"envmap12_{n}.png" for n in names],
                     },
                     "envmaps": {
-                        "envmap6": path.parent / "envmap6.exr",
-                        "envmap12": path.parent / "envmap12.exr",
+                        "envmap6": _exr_or_hdr(path.parent / "envmap6.exr"),
+                        "envmap12": _exr_or_hdr(path.parent / "envmap12.exr"),
                     },
                 },
             )
         return dataclasses.replace(
             base,
-            image_paths=[path / (f_["file_path"] + "_rgb.exr") for f_ in meta["frames"]],
+            image_paths=[
+                _exr_or_hdr(path / (f_["file_path"] + "_rgb.exr"))
+                for f_ in meta["frames"]
+            ],
             mask_paths=[path / (f_["file_path"] + "_mask.png") for f_ in meta["frames"]],
+            hdr_to_srgb=True,
         )
 
     @staticmethod
@@ -222,8 +251,10 @@ class Syn4RelightDataparser:
             for p in (
                 path / "train", path / "test",
                 path / "transforms_train.json", path / "transforms_test.json",
-                path.parent / "envmap6.exr", path.parent / "envmap12.exr",
             )
+        ) and all(
+            _exr_or_hdr(path.parent / n).exists()
+            for n in ("envmap6.exr", "envmap12.exr")
         )
 
 

@@ -26,9 +26,31 @@ def load_float32_image(path: Path | str) -> np.ndarray:
             img = img[..., None]
         return img
     if suffix in (".exr", ".hdr"):
+        # cv2 first: it decodes Radiance RGBE to true float (the reference's
+        # loader, rfstudio/io/_image.py:21-24); imageio's default HDR read
+        # tone-maps to uint8, which would silently hand 0-255 LDR to callers
+        try:
+            import cv2
+
+            img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
+            if img is not None:
+                img = np.asarray(img).astype(np.float32)
+                if img.ndim == 3 and img.shape[-1] >= 3:
+                    img = img[..., [2, 1, 0] + list(range(3, img.shape[-1]))]
+                if img.ndim == 2:
+                    img = img[..., None]
+                return img
+        except ImportError:
+            pass
         import imageio.v3 as iio
 
-        img = np.asarray(iio.imread(path)).astype(np.float32)
+        img = np.asarray(iio.imread(path))
+        if img.dtype == np.uint8:
+            raise ValueError(
+                f"HDR load of {path} produced uint8 (no float-capable "
+                "plugin); install cv2 or an EXR plugin"
+            )
+        img = img.astype(np.float32)
         if img.ndim == 2:
             img = img[..., None]
         return img
@@ -59,6 +81,16 @@ def dump_float32_image(path: Path | str, img: np.ndarray) -> None:
         Image.fromarray(arr).save(path)
         return
     if suffix in (".exr", ".hdr"):
+        try:
+            import cv2
+
+            arr = img.astype(np.float32)
+            if arr.ndim == 3 and arr.shape[-1] >= 3:
+                arr = arr[..., [2, 1, 0] + list(range(3, arr.shape[-1]))]
+            if cv2.imwrite(str(path), arr):
+                return
+        except ImportError:
+            pass
         import imageio.v3 as iio
 
         iio.imwrite(path, img.astype(np.float32))

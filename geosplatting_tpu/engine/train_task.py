@@ -366,6 +366,12 @@ class GeoSplatTrainTask(_TrainTaskBase):
     initial_guess: str = "hybrid"
     tile_capacity: int = 768
     backend: str = "auto"
+    # screen-pair budget: None sizes kernel buffers to the 3N worst case
+    # (slow + HBM-hungry at production N); presets pass the measured-correct
+    # budget for their shape (watch the pair_fill metric; the trainers alarm
+    # at fill > 0.95 and overflow drops the FARTHEST gaussians first)
+    pairs_budget: int | None = None
+    tile_shape: str = "16"
     # shard the camera batch over a 'dp' mesh axis (the TPU replacement for
     # the reference's gradient accumulation, SURVEY §2.11); exactness vs the
     # single-device step is tested in tests/test_dp_geosplat.py
@@ -381,6 +387,8 @@ class GeoSplatTrainTask(_TrainTaskBase):
             scale=self.scene_scale,
             initial_guess=self.initial_guess,
             tile_capacity=self.tile_capacity,
+            pairs_budget=self.pairs_budget,
+            tile_shape=self.tile_shape,
             backend=self.backend,
         )
         trainer = GeoSplatTrainer(
@@ -464,6 +472,8 @@ class GeoSplatMCTrainTask(_TrainTaskBase):
     tile_capacity: int = 768
     num_samples_x: int = 8
     backend: str = "auto"
+    pairs_budget: int | None = None   # see GeoSplatTrainTask.pairs_budget
+    tile_shape: str = "16"
     # dp camera-batch sharding (tests/test_dp_geosplat.py)
     data_parallel: bool = False
 
@@ -479,6 +489,8 @@ class GeoSplatMCTrainTask(_TrainTaskBase):
             initial_guess=self.initial_guess,
             tile_capacity=self.tile_capacity,
             num_samples_x=self.num_samples_x,
+            pairs_budget=self.pairs_budget,
+            tile_shape=self.tile_shape,
             backend=self.backend,
         )
         trainer = GeoSplatMCTrainer(
@@ -536,6 +548,8 @@ class GeoSplatDeferTrainTask(_TrainTaskBase):
     tile_capacity: int = 768
     num_samples_x: int = 8
     backend: str = "auto"
+    pairs_budget: int | None = None   # see GeoSplatTrainTask.pairs_budget
+    tile_shape: str = "16"
     # dp camera-batch sharding (tests/test_dp_geosplat.py)
     data_parallel: bool = False
 
@@ -550,6 +564,8 @@ class GeoSplatDeferTrainTask(_TrainTaskBase):
             scale=self.scene_scale,
             tile_capacity=self.tile_capacity,
             num_samples_x=self.num_samples_x,
+            pairs_budget=self.pairs_budget,
+            tile_shape=self.tile_shape,
             backend=self.backend,
         )
         trainer = GeoSplatDeferTrainer(

@@ -654,6 +654,7 @@ def shade_splitsum(
     pairs_budget: int | None = None,
     chunk_size: int = 128,
     tile_chunk: int = 8,
+    tile_shape: str = "16",
     backend: str = "auto",
     env_quality: str = "fast",   # 'fast' (nearest env + analytic FG) | 'exact'
     checkpoint_shading: bool = False,
@@ -699,6 +700,7 @@ def shade_splitsum(
         max_pairs_override=pairs_budget,
         chunk_size=chunk_size,
         tile_chunk=tile_chunk,
+        tile_size=tile_shape,
         backend=backend,
     )
     rgb = render[..., :3]
@@ -751,6 +753,11 @@ class GeoSplatter:
     pairs_budget: int | None = None   # absolute screen-pair cap (see pair_fill)
     remat_mode: str = "shading"       # 'shading' (fast) | 'full' (low-memory)
     chunk_size: int = 128             # pair-kernel chunk rows (tight-bounds binning re-flipped 256->128: BASELINE.md round-3 table)
+    # pairs-kernel tile shape "WxH" ("16" = square). 16x8 puts 128 px — one
+    # f32 lane register — per tile: ~half the [KC, P] VPU work per pair for
+    # the small mesh-anchored gaussians (BASELINE.md round-4 A/B). The CPU
+    # reference backend squares this silently (tiling is not semantics).
+    tile_shape: str = "16"
     tile_chunk: int = 8
     env_num_samples: int = 64
     prefilter_method: str = "conv"   # 'conv' (fast, training) | 'sampled'
@@ -931,6 +938,7 @@ class GeoSplatter:
                 pairs_per_gaussian=self.pairs_per_gaussian,
                 max_pairs_override=self.pairs_budget,
                 chunk_size=self.chunk_size,
+                tile_size=self.tile_shape,
             )
             rgba = jnp.concatenate(
                 (tone_naive(render_b, exposure), alpha_b), axis=-1
@@ -961,6 +969,7 @@ class GeoSplatter:
                 pairs_budget=self.pairs_budget,
                 chunk_size=self.chunk_size,
                 tile_chunk=self.tile_chunk,
+                tile_shape=self.tile_shape,
                 backend=self.backend,
                 env_quality=quality or self.env_quality,
                 checkpoint_shading=self.remat_mode == "shading",

@@ -53,6 +53,7 @@ class GeoSplatterDefer:
     pairs_per_gaussian: int = 6
     pairs_budget: int | None = None
     chunk_size: int = 128
+    tile_shape: str = "16"    # pairs-kernel tile "WxH" (see GeoSplatter)
     # vmap the gradient-free binning sorts over the camera batch
     # (see GeoSplatter.batched_binning); pairs backend only
     batched_binning: bool = False
@@ -122,6 +123,7 @@ class GeoSplatterDefer:
         relight_envmap: jnp.ndarray | None = None,
         albedo_scaling: jnp.ndarray | None = None,
         num_samples_override: int | None = None,
+        shade_keys: jnp.ndarray | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
         """Returns (rgba [B, H, W, 4], regularization, aux)."""
         normals = gmath.safe_normalize(params["normals"])
@@ -185,6 +187,7 @@ class GeoSplatterDefer:
                 pairs_per_gaussian=self.pairs_per_gaussian,
                 max_pairs_override=self.pairs_budget,
                 chunk_size=self.chunk_size,
+                tile_size=self.tile_shape,
             )
 
         @jax.checkpoint
@@ -214,12 +217,14 @@ class GeoSplatterDefer:
                     max_pairs_override=self.pairs_budget,
                     chunk_size=self.chunk_size,
                     tile_chunk=self.tile_chunk,
+                    tile_size=self.tile_shape,
                     backend=self.backend,
                 )
             else:
                 render, alpha, info = rasterize_mod.composite_from_bins(
                     proj, bins, gbuf_colors, kc=precomp[2], max_pairs=precomp[3],
                     width=cam.width, height=cam.height,
+                    tile_size=self.tile_shape,
                 )
             render = render / jnp.maximum(jax.lax.stop_gradient(alpha), 1e-6)
             frag_n = gmath.safe_normalize(render[..., 0:3])
@@ -276,7 +281,10 @@ class GeoSplatterDefer:
                 rgb = rgba[..., :3] * exposure
             return jnp.concatenate((rgb, rgba[..., 3:]), -1), info["total_pairs"]
 
-        keys_b = jax.random.split(k3, bsz)
+        keys_b = (  # see GeoSplatterMC.render shade_keys
+            shade_keys if shade_keys is not None
+            else jax.random.split(k3, bsz)
+        )
         xs = (
             (cameras, keys_b) if precomp is None
             else (cameras, keys_b, precomp[0], precomp[1])
@@ -339,6 +347,7 @@ class GeoSplatterDefer:
                 rasterize_mode="antialiased",
                 tile_capacity=self.tile_capacity,
                 tile_chunk=self.tile_chunk,
+                tile_size=self.tile_shape,
                 backend=self.backend,
             )
             return jnp.concatenate((r / jnp.maximum(a, 1e-6) * a, a), -1)

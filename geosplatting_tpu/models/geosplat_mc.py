@@ -72,6 +72,7 @@ class GeoSplatterMC:
     pairs_per_gaussian: int = 3
     pairs_budget: int | None = None
     chunk_size: int = 128
+    tile_shape: str = "16"    # pairs-kernel tile "WxH" (see GeoSplatter)
     # vmap the gradient-free binning sorts over the camera batch
     # (see GeoSplatter.batched_binning); pairs backend only
     batched_binning: bool = False
@@ -154,6 +155,7 @@ class GeoSplatterMC:
         mode: str = "pbr",
         tone_type: str = "naive",
         exposure_override: jnp.ndarray | None = None,
+        shade_keys: jnp.ndarray | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
         w = {"sdf": 0.0, "occ": 0.0, "kd_grad": 0.0, "ks_grad": 0.0}
         if reg_weights:
@@ -209,6 +211,7 @@ class GeoSplatterMC:
                 pairs_per_gaussian=self.pairs_per_gaussian,
                 max_pairs_override=self.pairs_budget,
                 chunk_size=self.chunk_size,
+                tile_size=self.tile_shape,
             )
 
         @jax.checkpoint
@@ -275,12 +278,14 @@ class GeoSplatterMC:
                     max_pairs_override=self.pairs_budget,
                     chunk_size=self.chunk_size,
                     tile_chunk=self.tile_chunk,
+                    tile_size=self.tile_shape,
                     backend=self.backend,
                 )
             else:
                 render, alpha, info = rasterize_mod.composite_from_bins(
                     proj, bins, colors, kc=precomp[2], max_pairs=precomp[3],
                     width=cam.width, height=cam.height,
+                    tile_size=self.tile_shape,
                 )
             rgb = render[..., :3]
             if tone_type == "naive":
@@ -291,7 +296,14 @@ class GeoSplatterMC:
                 rgb = rgb * exposure
             return jnp.concatenate((rgb, alpha), -1), info["total_pairs"]
 
-        keys_b = jax.random.split(k_shade, bsz)
+        # explicit per-camera MC sample keys make the dp camera-shard path
+        # bit-identical to the single-device batch (trainers pass
+        # split(k, B_total) and shard it with the cameras; the default split
+        # here depends on the LOCAL batch size and would decorrelate)
+        keys_b = (
+            shade_keys if shade_keys is not None
+            else jax.random.split(k_shade, bsz)
+        )
         xs = (
             (cameras, keys_b) if precomp is None
             else (cameras, keys_b, precomp[0], precomp[1])

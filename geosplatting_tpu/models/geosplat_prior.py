@@ -62,6 +62,7 @@ class GeoSplatterPrior:
     pairs_per_gaussian: int = 6
     pairs_budget: int | None = None
     chunk_size: int = 128
+    tile_shape: str = "16"    # pairs-kernel tile "WxH" (see GeoSplatter)
     tile_chunk: int = 8
     backend: str = "auto"
 
@@ -206,6 +207,7 @@ class GeoSplatterPrior:
                 max_pairs_override=self.pairs_budget,
                 chunk_size=self.chunk_size,
                 tile_chunk=self.tile_chunk,
+                tile_size=self.tile_shape,
                 backend=self.backend,
             )
             rgb = render[..., :3]

@@ -210,10 +210,13 @@ def composite_tiles_reference(
     return flat(out_c), flat(out_a), flat(out_d)
 
 
-def _tiles_to_image(tiles: jnp.ndarray, tw: int, th: int, tile_size: int, height: int, width: int) -> jnp.ndarray:
+def _tiles_to_image(tiles: jnp.ndarray, tw: int, th: int, tile_size, height: int, width: int) -> jnp.ndarray:
+    from .rasterize_pairs import tile_wh
+
+    tsx, tsy = tile_wh(tile_size)
     c = tiles.shape[-1]
-    img = tiles.reshape(th, tw, tile_size, tile_size, c)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(th * tile_size, tw * tile_size, c)
+    img = tiles.reshape(th, tw, tsy, tsx, c)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(th * tsy, tw * tsx, c)
     return img[:height, :width]
 
 
@@ -309,8 +312,11 @@ def bin_cameras_batched(
     max_pairs = max(int(pairs_per_gaussian) * n, 1 << 12)
     if max_pairs_override is not None:
         max_pairs = max(min(max_pairs, int(max_pairs_override)), 1 << 12)
-    tw = -(-width // tile_size)
-    th = -(-height // tile_size)
+    from .rasterize_pairs import tile_wh
+
+    tsx, tsy = tile_wh(tile_size)
+    tw = -(-width // tsx)
+    th = -(-height // tsy)
     kc = pick_chunk_size(max_pairs, tw * th, chunk_size)
 
     def proj_one(viewmat, K, op):
@@ -343,16 +349,17 @@ def composite_from_bins(
     """One camera's composite from precomputed (proj, bins) — the per-camera
     half of the batched-binning path (custom-vjp boundary: pack gather +
     kernels + sorted segment-sum reassembly)."""
-    from .rasterize_pairs import composite_pairs_pallas
+    from .rasterize_pairs import composite_pairs_pallas, tile_wh
 
-    tw = -(-width // tile_size)
-    th = -(-height // tile_size)
+    tsx, tsy = tile_wh(tile_size)
+    tw = -(-width // tsx)
+    th = -(-height // tsy)
     tiles_c, tiles_a, _ = composite_pairs_pallas(
-        bins, tile_size, kc, (tw, th), proj.means2d, proj.conics,
+        bins, (tsx, tsy), kc, (tw, th), proj.means2d, proj.conics,
         proj.opacities, colors, proj.depths,
     )
-    img_c = _tiles_to_image(tiles_c, tw, th, tile_size, height, width)
-    img_a = _tiles_to_image(tiles_a[..., None], tw, th, tile_size, height, width)
+    img_c = _tiles_to_image(tiles_c, tw, th, (tsx, tsy), height, width)
+    img_a = _tiles_to_image(tiles_a[..., None], tw, th, (tsx, tsy), height, width)
     info = {
         "total_pairs": bins.total_pairs,
         "max_pairs": max_pairs,
@@ -438,12 +445,22 @@ def rasterize_projected(
     elif render_mode != "RGB":
         raise ValueError(f"unknown render_mode: {render_mode}")
 
-    tw = -(-width // tile_size)
-    th = -(-height // tile_size)
+    from .rasterize_pairs import tile_wh
+
+    tsx, tsy = tile_wh(tile_size)
     if backend == "auto":
         # compiled pair kernels on accelerators; vectorized XLA reference on
         # CPU (interpret-mode pallas is a python loop — tests opt in explicitly)
         backend = "pairs" if jax.default_backend() != "cpu" else "reference"
+    if backend == "reference" and tsx != tsy:
+        # tiling is an implementation detail (the composited image is the
+        # same up to float reassociation): the square-only XLA reference
+        # path just squares a rect request so models can default to the
+        # pairs-optimal 16x8 without breaking CPU tests
+        tsx = tsy = max(tsx, tsy)
+    tile_size = (tsx, tsy) if tsx != tsy else tsx  # normalized (str parsed)
+    tw = -(-width // tsx)
+    th = -(-height // tsy)
     if backend in ("pallas", "pairs"):
         # pair-centric chunked kernels (work scales with actual pairs; no
         # per-tile capacity truncation) — the default production path
@@ -452,11 +469,11 @@ def rasterize_projected(
         )
         kc = pick_chunk_size(max_pairs, tw * th, chunk_size)
         pbins = bin_pairs(
-            proj, width, height, tile_size=tile_size, max_pairs=max_pairs,
+            proj, width, height, tile_size=(tsx, tsy), max_pairs=max_pairs,
             chunk_size=kc, near=near, far=far,
         )
         tiles_c, tiles_a, tiles_d = composite_pairs_pallas(
-            pbins, tile_size, kc, (tw, th), proj.means2d, proj.conics,
+            pbins, (tsx, tsy), kc, (tw, th), proj.means2d, proj.conics,
             proj.opacities, colors, proj.depths,
         )
         total_pairs = pbins.total_pairs

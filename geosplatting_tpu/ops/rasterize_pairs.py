@@ -77,10 +77,10 @@ _MOMENT_PREC = _prec("GEOS_MOMENT_PREC", "highest")
 #   'roll'   — log2(KC) pltpu.roll ladder passes on the VPU (default)
 #   'matmul' — one [KC, KC] triangular matmul on the MXU (re-admits a full
 #              [KC, P] exp in exchange for killing the ladder passes)
-# Measured A/B at the stage-1 production shape (BASELINE.md): at kc=128
-# matmul wins 16%, but kc=256+roll wins 18% and kc=256+matmul gives it all
-# back (the [256,256] HIGHEST triangular matmul costs 6 MXU passes) — so
-# the defaults are kc=256 + roll.
+# Measured A/B at the stage-1 production shape (BASELINE.md round-3 table):
+# with tight-bounds binning the defaults are kc=128 + roll — kc=256 was the
+# pre-tight-bounds optimum (its chunk-padding cost outgrows the chunk-count
+# saving once ~22% of pairs are pruned), and matmul at kc=128 loses to roll.
 _SCAN_IMPL = os.environ.get("GEOS_SCAN_IMPL", "roll")
 _SCAN_PREC = _prec("GEOS_SCAN_PREC", "highest")
 
@@ -89,6 +89,25 @@ def _interpret() -> bool:
     if _INTERPRET is None:
         return jax.default_backend() == "cpu"
     return _INTERPRET
+
+
+def tile_wh(tile_size) -> tuple[int, int]:
+    """Normalize a tile spec to (tile_w, tile_h) pixels.
+
+    Square int (legacy) or a (w, h) tuple. Rectangular 16x8 tiles put
+    p_sz = 128 px — exactly one f32 VPU lane register — so the [KC, P]
+    elementwise work halves per pair vs 16x16 while small mesh-anchored
+    gaussians (the stage-1 population is ~1-2 tiles each) pick up few extra
+    row pairs; measured A/B in BASELINE.md round 4."""
+    if isinstance(tile_size, str):
+        parts = tile_size.split("x")
+        tsx = int(parts[0])
+        tsy = int(parts[1]) if len(parts) > 1 else tsx
+    elif isinstance(tile_size, (tuple, list)):
+        tsx, tsy = int(tile_size[0]), int(tile_size[1])
+    else:
+        tsx = tsy = int(tile_size)
+    return tsx, tsy
 
 
 class PairBins(NamedTuple):
@@ -144,8 +163,9 @@ def bin_pairs(
     near: float = 0.01,
     far: float = 1e10,
 ) -> PairBins:
-    tw = -(-width // tile_size)
-    th = -(-height // tile_size)
+    tsx, tsy = tile_wh(tile_size)
+    tw = -(-width // tsx)
+    th = -(-height // tsy)
     num_tiles = tw * th
     kc = chunk_size
     n = proj.means2d.shape[0]
@@ -165,10 +185,10 @@ def bin_pairs(
         rx = ry = proj.radii.astype(jnp.float32)
         prune_r = None
 
-    tx0 = jnp.clip(jnp.floor((means2d[:, 0] - rx) / tile_size), 0, tw).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((means2d[:, 1] - ry) / tile_size), 0, th).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.ceil((means2d[:, 0] + rx) / tile_size), 0, tw).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.ceil((means2d[:, 1] + ry) / tile_size), 0, th).astype(jnp.int32)
+    tx0 = jnp.clip(jnp.floor((means2d[:, 0] - rx) / tsx), 0, tw).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((means2d[:, 1] - ry) / tsy), 0, th).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.ceil((means2d[:, 0] + rx) / tsx), 0, tw).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.ceil((means2d[:, 1] + ry) / tsy), 0, th).astype(jnp.int32)
     bw = jnp.maximum(tx1 - tx0, 0)
     ntiles = jnp.where(valid, bw * jnp.maximum(ty1 - ty0, 0), 0)
 
@@ -245,13 +265,20 @@ def bin_pairs(
         # rect corners the per-axis bbox cannot (a rotated ellipse's bbox
         # over-covers its corners; for an isotropic Gaussian the circle cuts
         # ~21% of the rect's tiles at large radii).
+        # NOTE (ADVICE r3): slot allocation above uses RECT counts, so pairs
+        # killed here still consume max_pairs slots and still count in
+        # total_pairs — pair_fill (and the trainers' >0.95 overflow alarm)
+        # is therefore rect-based, and under depth-priority overflow a
+        # provably-dead corner pair can displace a live far pair. Folding
+        # the circle test into ntiles would need per-gaussian tile iteration
+        # before allocation (a second expand) — not worth it at current
+        # fills; budget tuners should read pair_fill as the rect fill.
         unbits = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
         mx, my, r2 = unbits(e[:, 6]), unbits(e[:, 7]), unbits(e[:, 8])
-        ts_f = jnp.float32(tile_size)
-        x0 = tile_xi.astype(jnp.float32) * ts_f
-        y0 = tile_yi.astype(jnp.float32) * ts_f
-        dx = mx - jnp.clip(mx, x0, x0 + ts_f)
-        dy = my - jnp.clip(my, y0, y0 + ts_f)
+        x0 = tile_xi.astype(jnp.float32) * jnp.float32(tsx)
+        y0 = tile_yi.astype(jnp.float32) * jnp.float32(tsy)
+        dx = mx - jnp.clip(mx, x0, x0 + jnp.float32(tsx))
+        dy = my - jnp.clip(my, y0, y0 + jnp.float32(tsy))
         in_range = in_range & (dx * dx + dy * dy <= r2)
     tile_id = jnp.where(in_range, tile_id, num_tiles)
     pair_gid = jnp.where(in_range, e[:, 5], n).astype(jnp.int32)
@@ -400,19 +427,19 @@ def _scan_chunk_unit(alpha: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return pe, chunk_tot
 
 
-def _pixel_grid(tile_size: int):
-    flat = jax.lax.broadcasted_iota(jnp.int32, (1, tile_size * tile_size), 1)
-    px = (flat % tile_size).astype(jnp.float32) + 0.5
-    py = (flat // tile_size).astype(jnp.float32) + 0.5
+def _pixel_grid(tsx: int, tsy: int):
+    flat = jax.lax.broadcasted_iota(jnp.int32, (1, tsx * tsy), 1)
+    px = (flat % tsx).astype(jnp.float32) + 0.5
+    py = (flat // tsx).astype(jnp.float32) + 0.5
     return px, py
 
 
-def _chunk_pieces(p, cnt, tile, tile_size, tw):
+def _chunk_pieces(p, cnt, tile, tsx, tsy, tw):
     """Shared fwd/bwd per-chunk math: masked alphas for all (pair, pixel)."""
     kc = p.shape[0]
-    px, py = _pixel_grid(tile_size)
-    fx = (tile % tw) * tile_size
-    fy = (tile // tw) * tile_size
+    px, py = _pixel_grid(tsx, tsy)
+    fx = (tile % tw) * tsx
+    fy = (tile // tw) * tsy
     px = px + fx.astype(jnp.float32)
     py = py + fy.astype(jnp.float32)
     dx = p[:, 0:1] - px
@@ -434,7 +461,7 @@ def _fwd_kernel(
     a_r, b_r,                                        # scalar prefetch (packed)
     lo_ref, hi_ref, out_ref, logt_ref, ctot_ref, buf_ref, carry_ref,
     ccount_ref,
-    *, tile_size, kc, tw, c,
+    *, tsx, tsy, kc, tw, c,
 ):
     i = pl.program_id(0)
     tile, first, last, cnt = _unpack_a(a_r[i])
@@ -456,7 +483,7 @@ def _fwd_kernel(
         # consistent — frozen chunks lie entirely behind every pixel's
         # contributor cutoff, so the rank gate zeroes their gradients anyway.
         p = _slice_window(lo_ref, hi_ref, buf_ref, b_r[i] % _WOFF_PACK, kc)
-        sigma, alpha_raw, keep, _, _ = _chunk_pieces(p, cnt, tile, tile_size, tw)
+        sigma, alpha_raw, keep, _, _ = _chunk_pieces(p, cnt, tile, tsx, tsy, tw)
         alpha = jnp.where(keep, alpha_raw, 0.0)
 
         # product-scan transmittance: exp(carry) is [1, P] and the chunk
@@ -499,7 +526,7 @@ def _bwd_kernel(
     a_r, b_r, dead_r,               # scalar prefetch (packed, reversed maps)
     lo_ref, hi_ref, g_ref, logt_ref, ctot_ref, d_ref, buf_ref, suf_log_ref,
     suf_ws_ref, back_ref,
-    *, tile_size, kc, tw, c, cb,
+    *, tsx, tsy, kc, tw, c, cb,
 ):
     i = pl.program_id(0)
     rc = cb - 1 - i
@@ -525,7 +552,7 @@ def _bwd_kernel(
     @pl.when((cnt > 0) & (dead_r[rc] == 0))
     def _():
         p = _slice_window(lo_ref, hi_ref, buf_ref, b_r[rc] % _WOFF_PACK, kc)
-        sigma, alpha_raw, keep, dx, dy = _chunk_pieces(p, cnt, tile, tile_size, tw)
+        sigma, alpha_raw, keep, dx, dy = _chunk_pieces(p, cnt, tile, tsx, tsy, tw)
         alpha = jnp.where(keep, alpha_raw, 0.0)
         # product-scan reconstruction (mirrors the forward, including the
         # chunk total off the scan's last element so saved and recomputed
@@ -567,9 +594,9 @@ def _bwd_kernel(
         # per-pixel reduction below is a polynomial in the pixel coords, so
         # [d_sigma; e^-sigma d_alpha] x [1, x, y, x^2, xy, y^2]^T gives all
         # the moments, and the per-pair combination is thin column math.
-        # Tile-LOCAL coords keep the basis small (|x| < tile_size) so the
+        # Tile-LOCAL coords keep the basis small (|x| < tile width) so the
         # expansion has no catastrophic cancellation.
-        pxl, pyl = _pixel_grid(tile_size)
+        pxl, pyl = _pixel_grid(tsx, tsy)
         basis = jnp.concatenate(
             (jnp.ones_like(pxl), pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl),
             axis=0,
@@ -587,8 +614,8 @@ def _bwd_kernel(
         mxx = mom[0:kc, 3:4]
         mxy = mom[0:kc, 4:5]
         myy = mom[0:kc, 5:6]
-        mux = p[:, 0:1] - ((tile % tw) * tile_size).astype(jnp.float32)
-        muy = p[:, 1:2] - ((tile // tw) * tile_size).astype(jnp.float32)
+        mux = p[:, 0:1] - ((tile % tw) * tsx).astype(jnp.float32)
+        muy = p[:, 1:2] - ((tile // tw) * tsy).astype(jnp.float32)
         ca, cb_, cc = p[:, 2:3], p[:, 3:4], p[:, 4:5]
         sx = mux * m0 - mx
         sy = muy * m0 - my
@@ -657,11 +684,12 @@ def composite_pairs_pallas(
 def _composite_fwd_impl(
     bins, tile_size, kc, num_tiles_xy, means2d, conics, opacities, colors, depths
 ):
+    tsx, tsy = tile_wh(tile_size)
     tw, th = num_tiles_xy
     num_tiles = tw * th
     cb = bins.meta_a.shape[0]
     c = colors.shape[-1]
-    p_sz = tile_size * tile_size
+    p_sz = tsx * tsy
     pw = _HDR + c
     pairs = _pack_pairs(bins, means2d, conics, opacities, colors, depths, kc)
 
@@ -695,7 +723,7 @@ def _composite_fwd_impl(
     )
     out_acc, fwd_meta, chunk_tots = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, tile_size=tile_size, kc=kc, tw=tw, c=c
+            _fwd_kernel, tsx=tsx, tsy=tsy, kc=kc, tw=tw, c=c
         ),
         grid_spec=grid_spec,
         out_shape=(
@@ -747,13 +775,14 @@ def _composite_fwd(bins, tile_size, kc, num_tiles_xy,
 def _composite_bwd(tile_size, kc, num_tiles_xy, res, cts):
     bins, pairs_flat, shape_token, log_t, chunk_tots = res
     g_c, g_a, g_d = cts
+    tsx, tsy = tile_wh(tile_size)
     tw, th = num_tiles_xy
     num_tiles = tw * th
     cb = bins.meta_a.shape[0]
     n, pw = shape_token.shape[:2]
     pairs = pairs_flat.reshape(-1, pw)
     c = pw - _HDR
-    p_sz = tile_size * tile_size
+    p_sz = tsx * tsy
 
     # dead-chunk mask: a chunk whose highest back-rank is below every pixel's
     # non-contributor count D can produce only zero gradients (rank gate) —
@@ -825,7 +854,7 @@ def _composite_bwd(tile_size, kc, num_tiles_xy, res, cts):
     )
     d_padded = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, tile_size=tile_size, kc=kc, tw=tw, c=c, cb=cb
+            _bwd_kernel, tsx=tsx, tsy=tsy, kc=kc, tw=tw, c=c, cb=cb
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((cb, kc, pw), jnp.float32),
@@ -838,8 +867,15 @@ def _composite_bwd(tile_size, kc, num_tiles_xy, res, cts):
     d_rows = d_padded.reshape(cb * kc, pw)
     d_rows = jnp.concatenate([d_rows, jnp.zeros((1, pw), d_rows.dtype)])
     d_pair = d_rows[bins.padslot_of_pair]               # one gather, gen order
+    # NO sorted hint: pair_gid ascends in gaussian id only on the
+    # under-budget path (order = iota); when the depth-priority overflow
+    # branch engages, generation order is depth order and the ids are
+    # unsorted — a wrong indices_are_sorted hint is undefined behavior for
+    # the scatter-add and can silently corrupt gradients exactly when the
+    # budget overflows (found round 4; exercised by
+    # test_pair_budget_overflow_gradients_match_reference)
     d_g = jax.ops.segment_sum(
-        d_pair, bins.pair_gid, num_segments=n + 1, indices_are_sorted=True
+        d_pair, bins.pair_gid, num_segments=n + 1
     )[:n]
     return (
         None,                       # bins

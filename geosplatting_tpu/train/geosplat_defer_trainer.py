@@ -97,13 +97,15 @@ class GeoSplatDeferTrainer:
     def init_state(self, params: dict) -> dict[str, Any]:
         return {"params": params, "opt_state": self.optimizers.init(self._groups(params))}
 
-    def _local_loss(self, params, geometry, cameras, gt_rgba, bg, k_render):
+    def _local_loss(self, params, geometry, cameras, gt_rgba, bg, k_render,
+                    shade_keys=None):
         """Per-shard loss (see geosplat_trainer._local_loss for the dp
         mean-decomposition contract; the edge-aware regs are per-camera
         means so they decompose too)."""
         c = self.config
         rgba, reg, aux = self.model.render(
             params, geometry, cameras, k_render, ks_weight=c.ks_reg,
+            shade_keys=shade_keys,
         )
         gt_clamped = jnp.clip(gt_rgba, 0, 1)
         gt_linear = gimages.srgb2rgb(gt_clamped[..., :3])
@@ -152,9 +154,12 @@ class GeoSplatDeferTrainer:
     ) -> tuple[dict[str, Any], dict[str, jnp.ndarray]]:
         k_render, k_bg = jax.random.split(key)
         bg = jax.random.uniform(k_bg, gt_rgba[..., :3].shape)
+        sk = jax.random.split(
+            jax.random.fold_in(k_render, 1), gt_rgba.shape[0]
+        )
         grads, ((loss, mse, reg), aux) = jax.grad(
             lambda p: self._local_loss(
-                p, geometry, cameras, gt_rgba, bg, k_render
+                p, geometry, cameras, gt_rgba, bg, k_render, sk
             ),
             has_aux=True,
         )(state["params"])
@@ -178,11 +183,16 @@ class GeoSplatDeferTrainer:
 
         k_render, k_bg = jax.random.split(key)
         bg = jax.random.uniform(k_bg, gt_rgba[..., :3].shape)
+        # global-batch per-camera MC keys, sharded with the cameras (see
+        # GeoSplatMCTrainer.train_step_dp)
+        sk = jax.random.split(
+            jax.random.fold_in(k_render, 1), gt_rgba.shape[0]
+        )
         grads, (loss, mse, reg), aux = dp_value_and_grad(
-            lambda p, cams, gt, bg_: self._local_loss(
-                p, geometry, cams, gt, bg_, k_render
+            lambda p, cams, gt, bg_, sk_: self._local_loss(
+                p, geometry, cams, gt, bg_, k_render, sk_
             ),
-            state["params"], mesh, cameras, gt_rgba, bg,
+            state["params"], mesh, cameras, gt_rgba, bg, sk,
         )
         return self._apply_grads(state, grads, loss, mse, reg, aux)
 

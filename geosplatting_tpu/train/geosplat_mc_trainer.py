@@ -113,13 +113,15 @@ class GeoSplatMCTrainer:
             "ks_grad": jnp.asarray(c.ks_grad_reg),
         }
 
-    def _local_loss(self, params, cameras, gt_rgba, bg, rw, k_render):
+    def _local_loss(self, params, cameras, gt_rgba, bg, rw, k_render,
+                    shade_keys=None):
         """Per-shard loss (see geosplat_trainer._local_loss for the dp
         mean-decomposition contract)."""
         c = self.config
         rgba, reg, aux = self.model.render(
             params, cameras, k_render, reg_weights=rw,
             kd_perturb_std=c.kd_perturb_std, ks_perturb_std=c.ks_perturb_std,
+            shade_keys=shade_keys,
         )
         gt_linear = gimages.srgb2rgb(gt_rgba[..., :3])
         mask = gt_rgba[..., 3:]
@@ -145,8 +147,12 @@ class GeoSplatMCTrainer:
         rw = self._reg_weights(step)
         k_render, k_bg = jax.random.split(key)
         bg = jax.random.uniform(k_bg, gt_rgba[..., :3].shape)
+        sk = jax.random.split(
+            jax.random.fold_in(k_render, 1), gt_rgba.shape[0]
+        )
         grads, ((loss, mse, reg), aux) = jax.grad(
-            lambda p: self._local_loss(p, cameras, gt_rgba, bg, rw, k_render),
+            lambda p: self._local_loss(
+                p, cameras, gt_rgba, bg, rw, k_render, sk),
             has_aux=True,
         )(state["params"])
         return self._apply_grads(state, grads, loss, mse, reg, aux)
@@ -168,11 +174,16 @@ class GeoSplatMCTrainer:
         rw = self._reg_weights(step)
         k_render, k_bg = jax.random.split(key)
         bg = jax.random.uniform(k_bg, gt_rgba[..., :3].shape)
+        # per-camera MC sample keys generated for the GLOBAL batch and
+        # sharded with the cameras: dp == single-device bit-for-bit
+        sk = jax.random.split(
+            jax.random.fold_in(k_render, 1), gt_rgba.shape[0]
+        )
         grads, (loss, mse, reg), aux = dp_value_and_grad(
-            lambda p, cams, gt, bg_: self._local_loss(
-                p, cams, gt, bg_, rw, k_render
+            lambda p, cams, gt, bg_, sk_: self._local_loss(
+                p, cams, gt, bg_, rw, k_render, sk_
             ),
-            state["params"], mesh, cameras, gt_rgba, bg,
+            state["params"], mesh, cameras, gt_rgba, bg, sk,
         )
         return self._apply_grads(state, grads, loss, mse, reg, aux)
 

@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import os as _os
-_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_geosplatting")
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 import jax
 import jax.numpy as jnp
 
@@ -39,7 +39,9 @@ N = int(os.environ.get("N", 1 << 20 | 1 << 19))          # 1572864
 W = H = int(os.environ.get("RES", 800))
 BUDGET = int(os.environ.get("PAIRS_BUDGET", 1_800_000))
 REPS = int(os.environ.get("REPS", 5))
-TILE = 16
+# square int ("16") or rect "WxH" ("16x8") — pairs-backend rect-tile A/B
+_t = os.environ.get("TILE", "16")
+TILE = tuple(int(v) for v in _t.split("x")) if "x" in _t else int(_t)
 
 
 def timed(name, fn, *args):
@@ -74,7 +76,9 @@ def main():
         )
     )(means, quats, scales, opac)
     jax.block_until_ready(proj)
-    tw, th = -(-W // TILE), -(-H // TILE)
+    from geosplatting_tpu.ops.rasterize_pairs import tile_wh
+    tsx, tsy = tile_wh(TILE)
+    tw, th = -(-W // tsx), -(-H // tsy)
     total = int(jnp.sum(jnp.where(proj.radii > 0, 1, 0)))
     from geosplatting_tpu.ops import rasterize_pairs as rp
     print(

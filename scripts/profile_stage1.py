@@ -13,7 +13,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import os as _os
-_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_geosplatting")
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 import jax
 import jax.numpy as jnp
 
@@ -55,6 +55,7 @@ def main():
             else None
         ),
         chunk_size=int(os.environ.get("KC", 128)),
+        tile_shape=os.environ.get("TILE_SHAPE", "16"),
         batched_binning=os.environ.get("BATCHED_BINNING", "0") == "1",
         remat_mode=os.environ.get("REMAT_MODE", "shading"),
     )

@@ -5,7 +5,13 @@ and roughness MSE. Numbers are recorded in BASELINE.md; the tiny-scale
 regression floor lives in tests/test_quality.py.
 
   PYTHONPATH=/root/.axon_site:/root/repo python scripts/quality_bench.py
-Env knobs: QB_RES (img, 128), QB_GRID (48), QB_S1/QB_S2/QB_S3 steps,
+Defaults are the REFERENCE RECIPE SHAPE (VERDICT r2 #3 / r3 #3): 800^2
+images, grid 96, 500/500/100 steps, batch 8 — matching
+/root/reference/tests/model/test_geosplat.py:183-188, test_geosplat_mc.py:
+30-41, test_geosplat_defer.py:35-40. Budget ~2-3 h wall on 1x v5e. For the
+fast reduced-shape run (the pre-round-4 tracked floors) set
+QB_RES=128 QB_GRID=48 QB_S1=200 QB_S2=100 QB_S3=50 QB_BATCH=4.
+Env knobs: QB_RES, QB_GRID, QB_S1/QB_S2/QB_S3 steps, QB_BATCH,
 QB_ENV_QUALITY (fast|exact — A/B the training-path env sampling).
 """
 from __future__ import annotations
@@ -18,7 +24,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_geosplatting")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 
 from geosplatting_tpu.bench.quality_chain import run_quality_chain
 
@@ -26,14 +32,14 @@ from geosplatting_tpu.bench.quality_chain import run_quality_chain
 def main() -> None:
     t0 = time.time()
     r = run_quality_chain(
-        img_res=int(os.environ.get("QB_RES", 128)),
-        grid_res=int(os.environ.get("QB_GRID", 48)),
+        img_res=int(os.environ.get("QB_RES", 800)),
+        grid_res=int(os.environ.get("QB_GRID", 96)),
         n_train=int(os.environ.get("QB_TRAIN_VIEWS", 24)),
         n_test=int(os.environ.get("QB_TEST_VIEWS", 4)),
-        batch=int(os.environ.get("QB_BATCH", 4)),
-        s1_steps=int(os.environ.get("QB_S1", 200)),
-        s2_steps=int(os.environ.get("QB_S2", 100)),
-        s3_steps=int(os.environ.get("QB_S3", 50)),
+        batch=int(os.environ.get("QB_BATCH", 8)),
+        s1_steps=int(os.environ.get("QB_S1", 500)),
+        s2_steps=int(os.environ.get("QB_S2", 500)),
+        s3_steps=int(os.environ.get("QB_S3", 100)),
         gt_spp_x=int(os.environ.get("QB_GT_SPP_X", 16)),
         train_spp_x=int(os.environ.get("QB_TRAIN_SPP_X", 4)),
         light_resolution=int(os.environ.get("QB_LIGHT_RES", 128)),

@@ -27,14 +27,14 @@ def preset(name: str, **kw) -> GeoSplatTrainTask:
 S4R = {
     f"s4r-{scene}": preset(
         f"geosplat-s4r-{scene}", resolution=96, scene_scale=0.8,
-        num_steps=500, batch_size=8,
+        num_steps=500, batch_size=8, pairs_budget=1_600_000,
     )
     for scene in ("hotdog", "chair", "jugs", "air_baloons")
 }
 TENSOIR = {
     f"tsir-{scene}": preset(
         f"geosplat-tsir-{scene}", resolution=96, scene_scale=0.9,
-        num_steps=500, batch_size=8,
+        num_steps=500, batch_size=8, pairs_budget=1_600_000,
     )
     for scene in ("lego", "armadillo", "ficus", "hotdog")
 }
@@ -42,6 +42,7 @@ SHINY = {
     f"sb-{scene}": preset(
         f"geosplat-sb-{scene}", resolution=128, scene_scale=1.05,
         num_steps=500, batch_size=8, initial_guess="specular",
+        pairs_budget=2_400_000,
     )
     for scene in ("ball", "car", "coffee", "helmet", "teapot", "toaster")
 }

@@ -28,21 +28,21 @@ TASKS = {
     **{
         f"s4r-{s}": preset(
             f"geosplat-defer-s4r-{s}", resolution=96, scene_scale=0.8,
-            num_steps=100, batch_size=8,
+            num_steps=100, batch_size=8, pairs_budget=1_600_000,
         )
         for s in ("hotdog", "chair", "jugs", "air_baloons")
     },
     **{
         f"tsir-{s}": preset(
             f"geosplat-defer-tsir-{s}", resolution=96, scene_scale=0.9,
-            num_steps=100, batch_size=8,
+            num_steps=100, batch_size=8, pairs_budget=1_600_000,
         )
         for s in ("lego", "armadillo", "ficus", "hotdog")
     },
     **{
         f"sb-{s}": preset(
             f"geosplat-defer-sb-{s}", resolution=128, scene_scale=1.05,
-            num_steps=100, batch_size=8,
+            num_steps=100, batch_size=8, pairs_budget=2_400_000,
         )
         for s in ("ball", "car", "coffee", "helmet", "teapot", "toaster")
     },

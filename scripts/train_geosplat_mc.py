@@ -27,14 +27,14 @@ TASKS = {
     **{
         f"s4r-{s}": preset(
             f"geosplat-mc-s4r-{s}", resolution=96, scene_scale=0.8,
-            num_steps=500, batch_size=8,
+            num_steps=500, batch_size=8, pairs_budget=1_600_000,
         )
         for s in ("hotdog", "chair", "jugs", "air_baloons")
     },
     **{
         f"tsir-{s}": preset(
             f"geosplat-mc-tsir-{s}", resolution=96, scene_scale=0.9,
-            num_steps=500, batch_size=8,
+            num_steps=500, batch_size=8, pairs_budget=1_600_000,
         )
         for s in ("lego", "armadillo", "ficus", "hotdog")
     },
@@ -42,6 +42,7 @@ TASKS = {
         f"sb-{s}": preset(
             f"geosplat-mc-sb-{s}", resolution=128, scene_scale=1.05,
             num_steps=1000, batch_size=8, initial_guess="specular",
+            pairs_budget=2_400_000,
         )
         for s in ("ball", "car", "coffee", "helmet", "teapot", "toaster")
     },

@@ -21,9 +21,15 @@ except Exception:
     pass
 jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compile cache: the heavy train-step compiles (3-10 min on CPU
-# XLA) are identical across runs — cache them so repeat suite runs are fast
+# XLA) are identical across runs — cache them so repeat suite runs are fast.
+# The suite OWNS its cache dir (VERDICT r3 #4): round 3's full-suite segfault
+# was a corrupted entry in a /tmp cache shared with bench/profiler writers
+# (fatal signal inside the persistent-cache read); tests now never share a
+# cache with any other writer, and bench uses the repo's .jax_cache instead.
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      ".jax_cache_cpu_tests")
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_geosplatting")
+    jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 except Exception:
     pass

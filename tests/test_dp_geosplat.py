@@ -106,3 +106,112 @@ def test_dp_train_step_vertex_sampling():
     )
     assert np.isfinite(float(m["loss"]))
     assert float(m["nonfinite_grads"]) == 0.0
+
+
+def _tiny_stage2():
+    """Cheap stage-2 setup: tiny stage-1 export -> GeoSplatterMC params."""
+    from geosplatting_tpu.models.geosplat_mc import (
+        GeoSplatterMC, export_stage1,
+    )
+
+    s1 = make_model()
+    p1 = s1.init(jax.random.key(11))
+    grid = s1.make_grid()
+    p1["sdf"] = jnp.linalg.norm(grid.base_vertices(), axis=-1) - 0.45
+    export = export_stage1(s1, p1)
+    model = GeoSplatterMC(
+        resolution=10, scale=1.0, tile_capacity=128, tile_chunk=4,
+        num_samples_x=2, shadow_steps=4,
+        surf_cube_budget=8.0, surf_edge_budget=8.0,
+    )
+    return model, model.init_from_stage1(export, jax.random.key(12))
+
+
+def test_dp_mc_train_step_matches_single_device():
+    """ADVICE r3: stage-2 (MC) dp step must equal the single-device step."""
+    from geosplatting_tpu.train.geosplat_mc_trainer import (
+        GeoSplatMCTrainer, GeoSplatMCTrainerConfig,
+    )
+
+    model, params = _tiny_stage2()
+    cams = Cameras.from_orbit(
+        center=jnp.zeros(3), radius=2.0, elevation_degrees=20.0,
+        num_samples=4, width=W, height=H,
+    )
+    gt = gt_sphere_views(cams)
+    trainer = GeoSplatMCTrainer(GeoSplatMCTrainerConfig(batch_size=4), model)
+    key = jax.random.key(5)
+    step = jnp.asarray(60.0, jnp.float32)
+    rw = trainer._reg_weights(step)
+    k_render, k_bg = jax.random.split(key)
+    bg = jax.random.uniform(k_bg, gt[..., :3].shape)
+
+    # compare the pmean'd GRADIENTS, not post-Adam params: a first Adam step
+    # is ~lr*sign(g), so reassociation noise on near-zero grad elements
+    # flips into full-step param diffs that say nothing about dp correctness
+    sk = jax.random.split(jax.random.fold_in(k_render, 1), 4)
+    g1 = jax.jit(jax.grad(
+        lambda p: trainer._local_loss(p, cams, gt, bg, rw, k_render, sk)[0]
+    ))(params)
+    from geosplatting_tpu.train.dp import dp_value_and_grad
+
+    mesh = make_mesh(4)
+    # shard_map only runs under jit (eager closed_call unimplemented); the
+    # per-camera MC sample keys are global-batch and shard with the cameras
+    g2, (loss2, _, _), _ = jax.jit(lambda p, c, g, b, k: dp_value_and_grad(
+        lambda q, cc, gg, bb, kk: trainer._local_loss(
+            q, cc, gg, bb, rw, k_render, kk),
+        p, mesh, c, g, b, k,
+    ))(params, shard_batch(cams, mesh), shard_batch(gt, mesh),
+       shard_batch(bg, mesh), shard_batch(sk, mesh))
+    loss1 = trainer._local_loss(params, cams, gt, bg, rw, k_render, sk)[1][0][0]
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-3)
+    _tree_close(g1, g2, rtol=2e-3, atol=2e-5)
+
+
+def test_dp_defer_train_step_matches_single_device():
+    """ADVICE r3: the stage-3 dp step closes over the frozen geometry inside
+    shard_map — the most novel dp piece — and must equal single-device."""
+    import tests.test_eval_tasks as tet
+    from geosplatting_tpu.train.geosplat_defer_trainer import (
+        GeoSplatDeferTrainer, GeoSplatDeferTrainerConfig,
+    )
+
+    model, params, geom = tet.tiny_stage3()
+    cams = Cameras.from_orbit(
+        center=jnp.zeros(3), radius=2.0, elevation_degrees=15.0,
+        num_samples=4, width=24, height=24,
+    )
+    origins, dirs = cams.generate_rays()
+    b = jnp.sum(origins * dirs, -1)
+    disc = b * b - (jnp.sum(origins * origins, -1) - 0.16)
+    hit = ((disc > 0) & (-b - jnp.sqrt(jnp.maximum(disc, 0)) > 0))[..., None]
+    gt = jnp.concatenate(
+        (jnp.where(hit, 0.6, 0.0) * jnp.ones(3), hit.astype(jnp.float32)), -1
+    )
+    trainer = GeoSplatDeferTrainer(
+        GeoSplatDeferTrainerConfig(batch_size=4), model
+    )
+    key = jax.random.key(9)
+    k_render, k_bg = jax.random.split(key)
+    bg = jax.random.uniform(k_bg, gt[..., :3].shape)
+
+    # gradient-level parity (see the MC test above for why not params)
+    sk = jax.random.split(jax.random.fold_in(k_render, 1), 4)
+    g1 = jax.jit(jax.grad(
+        lambda p: trainer._local_loss(
+            p, geom, cams, gt, bg, k_render, sk)[0]
+    ))(params)
+    from geosplatting_tpu.train.dp import dp_value_and_grad
+
+    mesh = make_mesh(4)
+    g2, (loss2, _, _), _ = jax.jit(lambda p, c, g, b, k: dp_value_and_grad(
+        lambda q, cc, gg, bb, kk: trainer._local_loss(
+            q, geom, cc, gg, bb, k_render, kk),
+        p, mesh, c, g, b, k,
+    ))(params, shard_batch(cams, mesh), shard_batch(gt, mesh),
+       shard_batch(bg, mesh), shard_batch(sk, mesh))
+    loss1 = trainer._local_loss(
+        params, geom, cams, gt, bg, k_render, sk)[1][0][0]
+    np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-3)
+    _tree_close(g1, g2, rtol=2e-3, atol=2e-5)

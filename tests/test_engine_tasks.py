@@ -147,7 +147,9 @@ def test_full_chain_via_tasks_and_eval(blender_scene, tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
     env.pop("XLA_FLAGS", None)
-    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_geosplatting"
+    env["JAX_COMPILATION_CACHE_DIR"] = str(
+        Path(__file__).resolve().parents[1] / ".jax_cache_cpu_tests"
+    )
     env["CHAIN_SCENE_DIR"] = str(blender_scene)
     env["CHAIN_TMP_DIR"] = str(tmp_path)
     result = subprocess.run(

@@ -24,7 +24,9 @@ def test_quality_chain_thresholds():
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
     env.pop("XLA_FLAGS", None)
-    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache_geosplatting"
+    env["JAX_COMPILATION_CACHE_DIR"] = str(
+        Path(__file__).resolve().parents[1] / ".jax_cache_cpu_tests"
+    )
     result = subprocess.run(
         [sys.executable, "-c",
          "import tests.test_quality as m; m._run()"],

@@ -293,3 +293,45 @@ def test_all_culled_camera_renders_background():
         assert np.asarray(render).max() == 0.0, backend
         assert np.asarray(alpha).max() == 0.0, backend
         assert np.isfinite(np.asarray(g)).all(), backend
+
+
+def test_pair_budget_overflow_gradients_permutation_equivariant():
+    """Under depth-priority overflow the generation order is DEPTH order, so
+    gradients must not depend on the input index order of the gaussians
+    (this is what a wrong `indices_are_sorted` hint on the backward
+    segment-sum silently breaks — found round 4)."""
+    viewmat, K = lookat_matrices()
+    key = jax.random.key(13)
+    n = 2048
+    means = jax.random.uniform(key, (n, 3), minval=-0.8, maxval=0.8)
+    quats = gmath.safe_normalize(jax.random.normal(jax.random.key(1), (n, 4)))
+    scales = jnp.exp(jax.random.uniform(
+        jax.random.key(2), (n, 3), minval=-2.4, maxval=-1.4))
+    opacities = jnp.full((n,), 0.9)
+    colors = jax.random.uniform(jax.random.key(3), (n, 3))
+
+    def loss(m, o, c, q, s):
+        r, a, info = rasterize(
+            m, q, jnp.exp(s), o, c, viewmat, K, WIDTH, HEIGHT,
+            rasterize_mode="classic", backend="pairs",
+            max_pairs_override=1 << 12,  # force a real overflow
+        )
+        return (r * jnp.linspace(0, 1, WIDTH)[None, :, None]).sum() + a.sum(), info
+
+    (l0, info), g = jax.value_and_grad(
+        lambda *a: loss(*a), argnums=(0, 1, 2), has_aux=True)(
+        means, opacities, colors, quats, jnp.log(scales))
+    assert int(info["total_pairs"]) > int(info["max_pairs"])  # real overflow
+
+    perm = jax.random.permutation(jax.random.key(7), n)
+    inv = jnp.argsort(perm)
+    (l1, _), gp = jax.value_and_grad(
+        lambda *a: loss(*a), argnums=(0, 1, 2), has_aux=True)(
+        means[perm], opacities[perm], colors[perm], quats[perm],
+        jnp.log(scales)[perm])
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-5)
+    for a, b in zip(g, gp):
+        np.testing.assert_allclose(
+            np.asarray(b)[np.asarray(inv)], np.asarray(a),
+            rtol=1e-4, atol=1e-5,
+        )
