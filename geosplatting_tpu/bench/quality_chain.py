@@ -147,7 +147,9 @@ def run_quality_chain(
     stage_times['s2_wall_s'] = round(_time.time() - _t0, 1)
     stage_times['s2_s_per_step'] = round((_time.time() - _t1) / max(s2_steps - 1, 1), 3)
     log(f"  s2 wall {stage_times['s2_wall_s']}s, steady {stage_times['s2_s_per_step']} s/step")
-    export2 = s2.export_model(st2["params"], jax.random.key(3))
+    from ..models.geosplat_mc import compact_export
+    export2 = compact_export(jax.device_get(
+        s2.export_model(st2["params"], jax.random.key(3))))
 
     # ---- stage 3 ----------------------------------------------------------
     log("stage 3...")

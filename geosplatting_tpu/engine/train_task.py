@@ -528,7 +528,14 @@ class GeoSplatMCTrainTask(_TrainTaskBase):
         return jnp.concatenate((rgb, rgba[..., 3:]), -1)
 
     def export(self, model, trainer, state, key):
-        return model.export_model(state["params"], key)
+        from ..models.geosplat_mc import compact_export
+
+        # host-side live-row compaction: stage 3 optimizes per-gaussian
+        # params, so handing it the face-budget padding (1.57M rows at the
+        # production grid) OOMs its step (see compact_export)
+        return compact_export(jax.device_get(
+            model.export_model(state["params"], key)
+        ))
 
 
 # --- stage 3 ---------------------------------------------------------------------

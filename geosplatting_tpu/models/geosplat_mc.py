@@ -363,6 +363,49 @@ class GeoSplatterMC:
         }
 
 
+def compact_export(export: dict, pad_to: int = 4096) -> dict:
+    """Host-side compaction of a stage-2 export to its LIVE gaussians.
+
+    ``export_model`` runs under jit with static shapes, so its per-gaussian
+    arrays carry the face-budget padding (1.57M rows at the production
+    grid while only ~0.3-0.7M are live). Stage 3 then optimizes per-gaussian
+    parameters and re-encodes ks over every padded row — at 8x800x800 that
+    is the difference between fitting in HBM and an OOM on [1.57M, 32]
+    encoder gathers (found by the round-4 production stage-3 profile).
+    The hand-off is a host-side .npz anyway (engine/stage_io), so compact
+    there: keep valid rows, pad to a multiple of ``pad_to`` (static-shape
+    friendly), mark pad rows dead (mask False, raw opacity -10).
+    """
+    import numpy as np
+
+    mask = np.asarray(export["gaussian_mask"]).astype(bool)
+    n_live = int(mask.sum())
+    n_out = max(-(-n_live // pad_to) * pad_to, pad_to)
+    idx = np.flatnonzero(mask)
+    per_gaussian = (
+        "means", "scales", "quats", "opacities", "normals", "kd", "ks",
+        "occ", "mc_positions",
+    )
+    out = dict(export)
+    for k in per_gaussian:
+        if export.get(k) is None:
+            continue
+        a = np.asarray(export[k])
+        b = np.zeros((n_out,) + a.shape[1:], a.dtype)
+        b[:n_live] = a[idx]
+        if k == "opacities":
+            b[n_live:] = -10.0     # sigmoid ~ 0: pad rows never render
+        if k == "quats":
+            b[n_live:, 0] = 1.0    # normalizable unit quats
+        if k == "scales":
+            b[n_live:] = -10.0     # tiny
+        out[k] = b
+    m = np.zeros((n_out,), bool)
+    m[:n_live] = True
+    out["gaussian_mask"] = m
+    return out
+
+
 def export_stage1(model: GeoSplatter, params: dict) -> dict:
     """GeoSplatter.export_model (geosplat.py:839-854) as a pytree dict."""
     return {

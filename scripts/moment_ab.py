@@ -2,9 +2,12 @@
 """Grad-quality acceptance test for pair-kernel precision knobs (VERDICT r3
 #2a / BASELINE.md knob-decision procedure).
 
-The bf16 moment matmul (GEOS_MOMENT_PREC=default) is a measured ~18% step
-win that has sat unused for want of a defined acceptance test. The test,
-defined here once: train stage-1 ONLY on the analytic two-sphere scene at
+Round-4 resolution: the bf16 moment matmul (GEOS_MOMENT_PREC=default) was
+re-measured at the tight-bounds pair volume and the r2-era −18% had shrunk
+to −0.7% (BASELINE.md round-4 A/B table) — the knob stays at `highest` and
+no quality gate was needed. This harness REMAINS the defined acceptance
+test for any future numerics knob (BASELINE.md knob decision procedure #3):
+train stage-1 ONLY on the analytic two-sphere scene at
 the reduced quality-bench shape (128^2, grid 48, 200 steps, batch 4 — the
 shape whose tracked floors live in BASELINE.md) under BOTH knob settings at
 identical seeds, and require |delta s1-train PSNR| < 0.1 dB on every seed.

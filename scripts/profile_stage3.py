@@ -66,8 +66,10 @@ def main():
         "field": mc.field.init(jax.random.key(3)),
     }
     t_e = time.time()
+    from geosplatting_tpu.models.geosplat_mc import compact_export
+
     export = jax.jit(mc.export_model)(mc_params, key)
-    export = jax.block_until_ready(export)
+    export = compact_export(jax.device_get(jax.block_until_ready(export)))
     print(f"synthetic stage-2 export: {export['means'].shape[0]} gaussians, "
           f"{time.time() - t_e:.1f} s", flush=True)
     model = GeoSplatterDefer(

@@ -107,7 +107,9 @@ def main() -> None:
                 f"s2 step {step+1}: loss={float(m['loss']):.4f} "
                 f"psnr={float(m['splat_psnr']):.2f}"
             )
-    export2 = s2.export_model(state2["params"], jax.random.key(args.seed + 2))
+    from geosplatting_tpu.models.geosplat_mc import compact_export
+    export2 = compact_export(jax.device_get(
+        s2.export_model(state2["params"], jax.random.key(args.seed + 2))))
     console.print(f"[green]stage-2 done[/green] ({time.time()-t0:.0f}s)")
 
     # ---- stage 3 --------------------------------------------------------------

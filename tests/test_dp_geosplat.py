@@ -215,3 +215,36 @@ def test_dp_defer_train_step_matches_single_device():
         params, geom, cams, gt, bg, k_render, sk)[1][0][0]
     np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-3)
     _tree_close(g1, g2, rtol=2e-3, atol=2e-5)
+
+
+def test_compact_export_preserves_stage3_render():
+    """compact_export (round 4: fixes the production stage-3 HBM OOM) must
+    drop only dead padded rows — the stage-3 render from the compacted
+    export matches the uncompacted one."""
+    from geosplatting_tpu.models.geosplat_defer import GeoSplatterDefer
+    from geosplatting_tpu.models.geosplat_mc import compact_export
+
+    model2, params2 = _tiny_stage2()
+    export = jax.device_get(model2.export_model(params2, jax.random.key(3)))
+    compacted = compact_export(export, pad_to=256)
+    n_full = export["means"].shape[0]
+    n_live = int(np.asarray(export["gaussian_mask"]).sum())
+    assert compacted["means"].shape[0] < n_full
+    assert compacted["means"].shape[0] >= n_live
+
+    kw = dict(resolution=10, scale=1.0, tile_capacity=96, tile_chunk=4,
+              num_samples_x=2, mesh_tile_capacity=64, shadow_scale=0.0)
+    s3 = GeoSplatterDefer(**kw)
+    cams = Cameras.from_orbit(
+        center=jnp.zeros(3), radius=2.0, elevation_degrees=15.0,
+        num_samples=1, width=32, height=32,
+    )
+    outs = []
+    for exp in (export, compacted):
+        p = s3.init_from_stage2(exp, jax.random.key(4))
+        geom = s3.frozen_geometry(exp)
+        sk = jax.random.split(jax.random.key(5), 1)
+        rgba, _, _ = s3.render(p, geom, cams, jax.random.key(5),
+                               shade_keys=sk)
+        outs.append(np.asarray(rgba))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=1e-4, atol=2e-4)
