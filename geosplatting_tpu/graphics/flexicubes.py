@@ -336,8 +336,13 @@ def extract(
     )
     sa_g = sa[ceid_safe] * a_of
     sb_g = sb[ceid_safe] * b_of
-    xa_g = vertices[se_a[ceid_safe]]
-    xb_g = vertices[se_b[ceid_safe]]
+    # scatter-free backward: the vertex-position cotangent accumulation was
+    # the #5/#6 op of the round-4 stage-1 trace (107 ms each per step as a
+    # [912k, 3] scatter-add from 2.65M rows at ~0.9 GiB/s)
+    from ..ops.segment_rows import gather_rows
+
+    xa_g = gather_rows(vertices.shape[0], vertices, se_a[ceid_safe])
+    xb_g = gather_rows(vertices.shape[0], vertices, se_b[ceid_safe])
     ue = lerp(sa_g, sb_g, xa_g, xb_g)  # [S, VD, K, 3]
     ue = jnp.where(entry_valid[..., None], ue, 0.0)
 
@@ -454,17 +459,21 @@ def sdf_entropy(grid: FlexiCubesGrid, sdf: jnp.ndarray) -> jnp.ndarray:
     V = grid.num_vertices
     sdf = sdf.reshape(V)
     occ = sdf < 0
-    strides = jnp.asarray([1, rx + 1, (rx + 1) * (ry + 1)], jnp.int32)
     vidx = jnp.arange(V, dtype=jnp.int32)
     vx = vidx % (rx + 1)
     vy = (vidx // (rx + 1)) % (ry + 1)
     vz = vidx // ((rx + 1) * (ry + 1))
     in_bounds = jnp.stack((vx < rx, vy < ry, vz < rz), axis=0)
-    other = jnp.minimum(vidx[None, :] + strides[:, None], V - 1)
-    change = in_bounds & (occ[None, :] != occ[other])
+    # neighbor values via SHIFTED SLICES, not a gather: sdf[vidx + stride]
+    # is a contiguous shift, and the [3V] single-element-row gather ran at
+    # 0.43 GiB/s (143 ms/step) in the round-4 op trace
+    shift = lambda s: jnp.concatenate(
+        [sdf[s:], jnp.broadcast_to(sdf[-1], (s,))]
+    )
+    sb = jnp.stack([shift(int(s)) for s in (1, rx + 1, (rx + 1) * (ry + 1))])
+    change = in_bounds & (occ[None, :] != (sb < 0))
 
     sa = jnp.broadcast_to(sdf[None, :], (3, V))
-    sb = sdf[other]
 
     def bce_logits(x, t):
         return jnp.maximum(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))

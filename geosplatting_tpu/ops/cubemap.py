@@ -102,6 +102,9 @@ def texel_solid_angles(resolution: int) -> jnp.ndarray:
     return jnp.broadcast_to(sa[None], (6, resolution, resolution))
 
 
+from .segment_rows import gather_rows  # noqa: E402  (scatter-free bwd)
+
+
 def sample_cubemap(data: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """Bilinear cubemap lookup: data [6, R, R, C], dirs [..., 3] -> [..., C].
 
@@ -117,10 +120,12 @@ def sample_cubemap(data: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     y1 = jnp.minimum(y0 + 1, r - 1)
     wx = jnp.clip(fu - x0, 0.0, 1.0)[..., None]
     wy = jnp.clip(fv - y0, 0.0, 1.0)[..., None]
-    c00 = data[face, y0, x0]
-    c01 = data[face, y0, x1]
-    c10 = data[face, y1, x0]
-    c11 = data[face, y1, x1]
+    flat = data.reshape(-1, data.shape[-1])
+    tex = lambda x, y: gather_rows(flat.shape[0], flat, (face * r + y) * r + x)
+    c00 = tex(x0, y0)
+    c01 = tex(x1, y0)
+    c10 = tex(x0, y1)
+    c11 = tex(x1, y1)
     return (
         c00 * (1 - wx) * (1 - wy)
         + c01 * wx * (1 - wy)
@@ -391,7 +396,9 @@ def sample_splitsum(
         fv = (v * 0.5 + 0.5) * rf - 0.5
 
         def texel(x, y):
-            return atlas[off + (face * r + y) * r + x]
+            return gather_rows(
+                atlas.shape[0], atlas, off + (face * r + y) * r + x
+            )
 
         if filter_mode == "nearest":
             x0 = jnp.clip(jnp.round(fu).astype(jnp.int32), 0, r - 1)

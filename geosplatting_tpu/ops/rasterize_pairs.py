@@ -116,6 +116,16 @@ class PairBins(NamedTuple):
     sorted_gid: jnp.ndarray       # [max_pairs] gaussian id per sorted pair (N = invalid)
     pair_gid: jnp.ndarray         # [max_pairs] gaussian id in generation order (N = invalid)
     padslot_of_pair: jnp.ndarray  # [max_pairs] backward-grad row for each generated pair
+    # per-gaussian contiguous slot runs in GENERATION (depth-priority) order:
+    # gaussian order[i]'s pairs occupy slots [gs_start[i], gs_start[i] +
+    # gs_count[i]) — the backward reduces pair grads with a cumsum + two
+    # row-gathers (ops/segment_rows.contiguous_segment_sum) instead of a
+    # scatter-add, which the round-4 op trace measured at 1.6 GiB/s /
+    # ~98 ms per camera (sub-128 minor dims make XLA's scatter RMW a whole
+    # (8,128) tile per row). gs_inv maps original gaussian id -> run index.
+    gs_start: jnp.ndarray         # [N] int32
+    gs_count: jnp.ndarray         # [N] int32
+    gs_inv: jnp.ndarray           # [N] int32
     # chunk metadata rides scalar-prefetch SMEM (~1 MB total on v5e), so six
     # [CB] arrays are bit-packed into two:
     #   meta_a = ((count*2 + last)*2 + first) * 2^17 + tile   (tile < 2^17)
@@ -346,6 +356,9 @@ def bin_pairs(
         sorted_gid=sorted_gid,
         pair_gid=pair_gid,
         padslot_of_pair=padslot_of_pair,
+        gs_start=starts.astype(jnp.int32),
+        gs_count=rec[:, 0].astype(jnp.int32),
+        gs_inv=jnp.argsort(order).astype(jnp.int32),
         meta_a=meta_a,
         meta_b=meta_b,
         tile_counts=counts,
@@ -867,16 +880,16 @@ def _composite_bwd(tile_size, kc, num_tiles_xy, res, cts):
     d_rows = d_padded.reshape(cb * kc, pw)
     d_rows = jnp.concatenate([d_rows, jnp.zeros((1, pw), d_rows.dtype)])
     d_pair = d_rows[bins.padslot_of_pair]               # one gather, gen order
-    # NO sorted hint: pair_gid ascends in gaussian id only on the
-    # under-budget path (order = iota); when the depth-priority overflow
-    # branch engages, generation order is depth order and the ids are
-    # unsorted — a wrong indices_are_sorted hint is undefined behavior for
-    # the scatter-add and can silently corrupt gradients exactly when the
-    # budget overflows (found round 4; exercised by
-    # test_pair_budget_overflow_gradients_match_reference)
-    d_g = jax.ops.segment_sum(
-        d_pair, bins.pair_gid, num_segments=n + 1
-    )[:n]
+    # scatter-free per-gaussian reduction: generation order is gaussian-major
+    # (each gaussian's pairs are one contiguous slot run, under iota AND
+    # depth-priority ordering), so the old segment_sum — whose scatter-add
+    # lowering ran at 1.6 GiB/s, ~98 ms/camera, the single largest op of the
+    # whole stage-1 step in the round-4 trace — collapses to a cumsum + two
+    # row-gathers + one permutation gather back to original gaussian ids.
+    from .segment_rows import contiguous_segment_sum
+
+    d_perm = contiguous_segment_sum(d_pair, bins.gs_start, bins.gs_count)
+    d_g = d_perm[bins.gs_inv]
     return (
         None,                       # bins
         d_g[:, 0:2],                # means2d

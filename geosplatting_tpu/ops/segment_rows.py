@@ -1,0 +1,103 @@
+"""Scatter-free row reductions for TPU.
+
+XLA lowers ``segment_sum``/``.at[].add`` with sub-128 minor dimensions to a
+serialized scatter that read-modify-writes a whole (8, 128) tile per row —
+the round-4 op trace measured 0.5-1.7 GiB/s on the stage-1 step's three
+scatter-adds (rasterize backward segment-sum, envmap-atlas gradient,
+FlexiCubes vertex accumulation), together ~35% of the 4.2 s step. Both
+helpers here replace the scatter with sort / prefix-sum / gather
+constructions whose pieces each run at memory speed on TPU.
+
+Precision note: segment sums become differences of a running f32 prefix.
+The absolute error of a prefix entry is ~eps * |S| (random-walk growth
+sqrt(M) * rms), so segment values keep ~1e-4 relative accuracy at the
+production M~1.5M — within the rasterizer's golden-test tolerances; pass
+``promote=True`` to run the prefix in f64 when a consumer needs tighter
+sums (TPU f64 is emulated but the cumsum is a tiny fraction of a step).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _prefix(values: jnp.ndarray, promote: bool) -> jnp.ndarray:
+    """[M, C] -> [M+1, C] exclusive-prefix matrix (S[0] = 0)."""
+    v = values.astype(jnp.float64) if promote else values
+    s = jnp.cumsum(v, axis=0)
+    s = jnp.concatenate([jnp.zeros_like(s[:1]), s])
+    return s
+
+
+def contiguous_segment_sum(
+    values: jnp.ndarray,      # [M, C]
+    starts: jnp.ndarray,      # [S] segment start rows (exclusive prefix)
+    counts: jnp.ndarray,      # [S] segment lengths
+    *,
+    promote: bool = False,
+) -> jnp.ndarray:
+    """Sum rows of contiguous segments: out[i] = sum(values[starts[i] : starts[i]+counts[i]]).
+
+    For id arrays that are constant runs (e.g. the pair expansion's
+    gaussian-major generation order) this replaces segment_sum's scatter
+    with one cumsum and two row-gathers. Out-of-range ends clamp to M
+    (truncated segments sum only their in-range rows)."""
+    m = values.shape[0]
+    s = _prefix(values, promote)
+    lo = jnp.clip(starts, 0, m)
+    hi = jnp.clip(starts + counts, 0, m)
+    out = s[hi] - s[lo]
+    return out.astype(values.dtype)
+
+
+def dense_index_add(
+    num_rows: int,
+    idx: jnp.ndarray,         # [M] target row per value row
+    values: jnp.ndarray,      # [M, C]
+    *,
+    promote: bool = False,
+) -> jnp.ndarray:
+    """Dense equivalent of ``zeros((num_rows, C)).at[idx].add(values)``.
+
+    sort-by-index + prefix + per-output-row boundary search: every output
+    row's contribution is a contiguous range of the sorted values, so the
+    result is built with gathers only (no scatter). Cost: one key sort of
+    M rows, one [M, C] cumsum, one searchsorted(num_rows), two [num_rows,
+    C] row-gathers."""
+    m = idx.shape[0]
+    order = jnp.argsort(idx)
+    sorted_idx = idx[order]
+    sorted_vals = values[order]
+    s = _prefix(sorted_vals, promote)
+    # method='sort': the default binary-search lowering is log(M) serialized
+    # gather rounds (see rasterize_pairs.bin_pairs)
+    bounds = jnp.searchsorted(
+        sorted_idx, jnp.arange(num_rows + 1, dtype=idx.dtype), side="left",
+        method="sort",
+    )
+    out = s[bounds[1:]] - s[bounds[:-1]]
+    return out.astype(values.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def gather_rows(num_rows: int, table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` whose BACKWARD builds the table cotangent with
+    dense_index_add instead of XLA's scatter-add (see module docstring;
+    the mip-atlas gradient scatter measured 0.9 GiB/s / 63 ms per camera
+    in the round-4 stage-1 op trace)."""
+    return table[idx]
+
+
+def _gather_rows_fwd(num_rows, table, idx):
+    return table[idx], idx
+
+
+def _gather_rows_bwd(num_rows, idx, ct):
+    c = ct.shape[-1]
+    d_table = dense_index_add(num_rows, idx.reshape(-1), ct.reshape(-1, c))
+    return d_table, None
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
