@@ -100,12 +100,42 @@ def sample_light(light: LightPdf, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
 
 
 def eval_light(light: LightPdf, d: jnp.ndarray) -> jnp.ndarray:
-    """Nearest-texel radiance lookup (differentiable into light.data)."""
+    """Nearest-texel radiance lookup (differentiable into light.data).
+
+    gather_rows: the backward otherwise scatter-adds [N] rows into the
+    latlng table PER MC SAMPLE STEP (the round-4 trace pathology — see
+    ops/segment_rows.py)."""
+    from .segment_rows import gather_rows
+
     h, w = light.pdf.shape
     tc = _dir_to_tc(d)
     x = jnp.clip((tc[..., 0] * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((tc[..., 1] * h).astype(jnp.int32), 0, h - 1)
-    return light.data[y, x]
+    flat = light.data.reshape(-1, light.data.shape[-1])
+    return gather_rows(flat.shape[0], flat, y * w + x)
+
+
+def eval_light_and_pdf(
+    light: LightPdf, d: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(radiance [..., 3], solid-angle pdf [...]) with ONE fused gather —
+    the MC sample loop calls both per BSDF sample, and at production N the
+    per-sample gathers are the dominant cost of env_shade (round-4 trace:
+    ~2.7 s of a 3.4 s forward)."""
+    from .segment_rows import gather_rows
+
+    h, w = light.pdf.shape
+    tc = _dir_to_tc(d)
+    x = jnp.clip((tc[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((tc[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    fused = jnp.concatenate(
+        [light.data, jax.lax.stop_gradient(light.pdf)[..., None]], -1
+    ).reshape(-1, 4)
+    out = gather_rows(fused.shape[0], fused, y * w + x)
+    weight = h * w / (
+        2 * jnp.pi**2 * jnp.maximum(jnp.sin(tc[..., 1] * jnp.pi), 1e-4)
+    )
+    return out[..., :3], out[..., 3] * weight
 
 
 # --- BSDF pieces (bsdf.h) -------------------------------------------------------
@@ -276,8 +306,15 @@ def env_shade(
     bank_pdf = light_pdf_at(light, bank_dirs)        # [B]
     # radiance per bank direction, computed ONCE: light-sample lookups then
     # become a single [N] row-gather instead of per-point dir->texcoord trig
-    # + 2-D gathers (differentiable into light.data through the bank)
+    # + 2-D gathers (differentiable into light.data through the bank).
+    # dirs/pdf/radiance ride ONE fused [B, 7] table so the per-step bank
+    # lookup is one gather, not three (round-4 trace: per-sample gathers
+    # dominate env_shade at production N)
     bank_cols = eval_light(light, bank_dirs)         # [B, 3]
+    bank_all = jnp.concatenate(
+        [jax.lax.stop_gradient(bank_dirs),
+         jax.lax.stop_gradient(bank_pdf)[:, None], bank_cols], -1
+    )                                                # [B, 7]
 
     sample_frac = 1.0 / s
 
@@ -321,12 +358,15 @@ def env_shade(
     def step(carry, sk):
         d_acc, s_acc, r_acc = carry
         k1, k2, k3, k4 = jax.random.split(sk, 4)
-        # light importance sample (from the shared bank)
+        # light importance sample (one fused gather from the shared bank)
+        from .segment_rows import gather_rows
+
         bidx = jax.random.randint(k1, (n_pts,), 0, bank_dirs.shape[0])
-        wi_l = bank_dirs[bidx]
-        pdf_l = bank_pdf[bidx]
+        bk = gather_rows(bank_all.shape[0], bank_all, bidx)
+        wi_l = bk[:, 0:3]
+        pdf_l = bk[:, 3]
         pdf_b = _bsdf_pdf(p_diffuse, normals, wo, wi_l, alpha)
-        d1, s1, r1 = eval_sample(wi_l, pdf_l + pdf_b, k2, light_col=bank_cols[bidx])
+        d1, s1, r1 = eval_sample(wi_l, pdf_l + pdf_b, k2, light_col=bk[:, 4:7])
         # bsdf sample
         u = jax.random.uniform(k3, (n_pts, 3))
         wi_cos, pdf_cos = _cosine_sample(normals, u[:, 0], u[:, 1])
@@ -338,8 +378,9 @@ def env_shade(
             p_diffuse * pdf_cos + (1 - p_diffuse) * _ggx_vndf_pdf(normals, wo, wi_cos, alpha),
             (1 - p_diffuse) * pdf_ggx + p_diffuse * jnp.maximum(gmath.dot(normals, wi_ggx)[..., 0], 0) / jnp.pi,
         )
-        pdf_lb = light_pdf_at(light, wi_b)
-        d2, s2, r2 = eval_sample(wi_b, pdf_lb + pdf_bb, k4)
+        # radiance + pdf in one fused gather
+        light_col_b, pdf_lb = eval_light_and_pdf(light, wi_b)
+        d2, s2, r2 = eval_sample(wi_b, pdf_lb + pdf_bb, k4, light_col=light_col_b)
         return (d_acc + d1 + d2, s_acc + s1 + s2, r_acc + r1 + r2), None
 
     init = (
