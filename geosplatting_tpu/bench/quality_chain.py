@@ -52,6 +52,7 @@ def run_quality_chain(
     env_quality: str = "fast",
     fast_metrics: bool = True,
     pairs_budget: int | None = None,
+    max_render_faces: int = 1 << 18,
     log=lambda msg: None,
 ) -> dict[str, Any]:
     import time as _time
@@ -81,6 +82,7 @@ def run_quality_chain(
         resolution=grid_res, light_resolution=light_resolution, scale=1.0,
         tile_capacity=tile_capacity, tile_chunk=tile_chunk,
         env_quality=env_quality, pairs_budget=pairs_budget,
+        max_render_faces=max_render_faces,
     )
     p1 = s1.init(jax.random.key(1))
     grid = s1.make_grid()
@@ -120,7 +122,7 @@ def run_quality_chain(
     s2 = GeoSplatterMC(
         resolution=grid_res, scale=1.0, tile_capacity=tile_capacity,
         tile_chunk=tile_chunk, num_samples_x=train_spp_x,
-        pairs_budget=pairs_budget,
+        pairs_budget=pairs_budget, max_render_faces=max_render_faces,
     )
     p2 = s2.init_from_stage1(export1, jax.random.key(2))
     t2 = GeoSplatMCTrainer(
@@ -134,7 +136,7 @@ def run_quality_chain(
     _t0 = _t1 = _time.time()
     for step, idx in batches(s2_steps):
         key, sub = jax.random.split(key)
-        st2, m2 = t2.train_step(
+        st2, m2 = t2.train_step_accum(
             st2, train_cams[idx], gt_train[idx], sub,
             jnp.asarray(step, jnp.float32),
         )
@@ -167,7 +169,7 @@ def run_quality_chain(
     _t0 = _t1 = _time.time()
     for step, idx in batches(s3_steps):
         key, sub = jax.random.split(key)
-        st3, m3 = t3.train_step(
+        st3, m3 = t3.train_step_accum(
             st3, geom, train_cams[idx], gt_train[idx], sub,
             jnp.asarray(step, jnp.float32),
         )

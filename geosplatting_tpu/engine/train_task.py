@@ -372,6 +372,10 @@ class GeoSplatTrainTask(_TrainTaskBase):
     # at fill > 0.95 and overflow drops the FARTHEST gaussians first)
     pairs_budget: int | None = None
     tile_shape: str = "16"
+    # padded face budget: every per-gaussian cost in stages 1-2 scales with
+    # 6x this; live fill at the S4R shape (grid 96) is ~0.45 of the 1<<18
+    # default, so production presets run 1<<17 (watch the face_fill metric)
+    max_render_faces: int = 1 << 18
     # shard the camera batch over a 'dp' mesh axis (the TPU replacement for
     # the reference's gradient accumulation, SURVEY §2.11); exactness vs the
     # single-device step is tested in tests/test_dp_geosplat.py
@@ -389,6 +393,7 @@ class GeoSplatTrainTask(_TrainTaskBase):
             tile_capacity=self.tile_capacity,
             pairs_budget=self.pairs_budget,
             tile_shape=self.tile_shape,
+            max_render_faces=self.max_render_faces,
             backend=self.backend,
         )
         trainer = GeoSplatTrainer(
@@ -474,6 +479,7 @@ class GeoSplatMCTrainTask(_TrainTaskBase):
     backend: str = "auto"
     pairs_budget: int | None = None   # see GeoSplatTrainTask.pairs_budget
     tile_shape: str = "16"
+    max_render_faces: int = 1 << 18   # see GeoSplatTrainTask
     # dp camera-batch sharding (tests/test_dp_geosplat.py)
     data_parallel: bool = False
 
@@ -491,6 +497,7 @@ class GeoSplatMCTrainTask(_TrainTaskBase):
             num_samples_x=self.num_samples_x,
             pairs_budget=self.pairs_budget,
             tile_shape=self.tile_shape,
+            max_render_faces=self.max_render_faces,
             backend=self.backend,
         )
         trainer = GeoSplatMCTrainer(
@@ -518,7 +525,9 @@ class GeoSplatMCTrainTask(_TrainTaskBase):
                 state, shard_batch(cams, mesh), shard_batch(gt, mesh), key,
                 jnp.asarray(step, jnp.float32), mesh,
             )
-        return trainer.train_step(
+        # per-camera dispatches: the fused stage-2 step exceeds the remote
+        # compile deadline at production shape (BASELINE.md round 4)
+        return trainer.train_step_accum(
             state, cams, gt, key, jnp.asarray(step, jnp.float32)
         )
 
@@ -607,7 +616,7 @@ class GeoSplatDeferTrainTask(_TrainTaskBase):
                 state, geom, shard_batch(cams, mesh), shard_batch(gt, mesh),
                 key, jnp.asarray(step, jnp.float32), mesh,
             )
-        return trainer.train_step(
+        return trainer.train_step_accum(
             state, geom, cams, gt, key, jnp.asarray(step, jnp.float32)
         )
 

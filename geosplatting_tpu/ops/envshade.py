@@ -99,6 +99,15 @@ def sample_light(light: LightPdf, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray
     return _tc_to_dir(uv)
 
 
+# scatter-free light-table gradients (ops/segment_rows.py) replace the
+# per-sample-step scatter-add; the sort they add to the sample scan body is
+# suspected round 4 of inflating the stage-2 REMOTE COMPILE — this switch
+# exists to A/B that (1 = scatter-free, 0 = plain gather/scatter)
+import os as _os
+
+_SCATTER_FREE = _os.environ.get("GEOS_ENV_SCATTER_FREE", "1") == "1"
+
+
 def eval_light(light: LightPdf, d: jnp.ndarray) -> jnp.ndarray:
     """Nearest-texel radiance lookup (differentiable into light.data).
 
@@ -111,6 +120,8 @@ def eval_light(light: LightPdf, d: jnp.ndarray) -> jnp.ndarray:
     tc = _dir_to_tc(d)
     x = jnp.clip((tc[..., 0] * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((tc[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    if not _SCATTER_FREE:
+        return light.data[y, x]
     flat = light.data.reshape(-1, light.data.shape[-1])
     return gather_rows(flat.shape[0], flat, y * w + x)
 
@@ -131,7 +142,10 @@ def eval_light_and_pdf(
     fused = jnp.concatenate(
         [light.data, jax.lax.stop_gradient(light.pdf)[..., None]], -1
     ).reshape(-1, 4)
-    out = gather_rows(fused.shape[0], fused, y * w + x)
+    if _SCATTER_FREE:
+        out = gather_rows(fused.shape[0], fused, y * w + x)
+    else:
+        out = fused[y * w + x]
     weight = h * w / (
         2 * jnp.pi**2 * jnp.maximum(jnp.sin(tc[..., 1] * jnp.pi), 1e-4)
     )
@@ -362,7 +376,8 @@ def env_shade(
         from .segment_rows import gather_rows
 
         bidx = jax.random.randint(k1, (n_pts,), 0, bank_dirs.shape[0])
-        bk = gather_rows(bank_all.shape[0], bank_all, bidx)
+        bk = (gather_rows(bank_all.shape[0], bank_all, bidx)
+              if _SCATTER_FREE else bank_all[bidx])
         wi_l = bk[:, 0:3]
         pdf_l = bk[:, 3]
         pdf_b = _bsdf_pdf(p_diffuse, normals, wo, wi_l, alpha)

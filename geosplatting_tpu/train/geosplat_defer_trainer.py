@@ -165,6 +165,57 @@ class GeoSplatDeferTrainer:
         )(state["params"])
         return self._apply_grads(state, grads, loss, mse, reg, aux)
 
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _cam_grad(self, params, geometry, cameras, gt_rgba, bg, k_render, sk):
+        """Per-camera gradient program (see GeoSplatMCTrainer.train_step_accum)."""
+        return jax.grad(
+            lambda p: self._local_loss(
+                p, geometry, cameras, gt_rgba, bg, k_render, sk),
+            has_aux=True,
+        )(params)
+
+    @functools.partial(jax.jit, static_argnames=("self",),
+                       donate_argnames=("state",))
+    def _apply_step(self, state, grads, loss, mse, reg, aux):
+        return self._apply_grads(state, grads, loss, mse, reg, aux)
+
+    def train_step_accum(
+        self,
+        state: dict[str, Any],
+        geometry: dict,
+        cameras: Cameras,
+        gt_rgba: jnp.ndarray,
+        key: jax.Array,
+        step: jnp.ndarray,
+    ) -> tuple[dict[str, Any], dict[str, jnp.ndarray]]:
+        """Per-camera gradient dispatches + one apply — the compile-sized
+        alternative to the fused step (see GeoSplatMCTrainer.train_step_accum)."""
+        k_render, k_bg = jax.random.split(key)
+        bg = jax.random.uniform(k_bg, gt_rgba[..., :3].shape)
+        sk = jax.random.split(
+            jax.random.fold_in(k_render, 1), gt_rgba.shape[0]
+        )
+        b = gt_rgba.shape[0]
+        grads = None
+        loss = mse = reg = None
+        aux = None
+        for i in range(b):
+            g_i, ((l_i, m_i, r_i), a_i) = self._cam_grad(
+                state["params"], geometry, cameras[i:i + 1],
+                gt_rgba[i:i + 1], bg[i:i + 1], k_render, sk[i:i + 1],
+            )
+            if grads is None:
+                grads, loss, mse, reg, aux = g_i, l_i, m_i, r_i, a_i
+            else:
+                grads = jax.tree.map(jnp.add, grads, g_i)
+                loss, mse, reg = loss + l_i, mse + m_i, reg + r_i
+                aux = jax.tree.map(jnp.maximum, aux, a_i)
+        inv = 1.0 / b
+        grads = jax.tree.map(lambda g: g * inv, grads)
+        return self._apply_step(
+            state, grads, loss * inv, mse * inv, reg * inv, aux
+        )
+
     @functools.partial(jax.jit, static_argnames=("self", "mesh"),
                        donate_argnames=("state",))
     def train_step_dp(

@@ -157,6 +157,67 @@ class GeoSplatMCTrainer:
         )(state["params"])
         return self._apply_grads(state, grads, loss, mse, reg, aux)
 
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _cam_grad(self, params, cameras, gt_rgba, bg, rw, k_render, sk):
+        """Per-camera gradient program for the split-dispatch step."""
+        return jax.grad(
+            lambda p: self._local_loss(p, cameras, gt_rgba, bg, rw, k_render,
+                                       sk),
+            has_aux=True,
+        )(params)
+
+    @functools.partial(jax.jit, static_argnames=("self",),
+                       donate_argnames=("state",))
+    def _apply_step(self, state, grads, loss, mse, reg, aux):
+        return self._apply_grads(state, grads, loss, mse, reg, aux)
+
+    def train_step_accum(
+        self,
+        state: dict[str, Any],
+        cameras: Cameras,
+        gt_rgba: jnp.ndarray,
+        key: jax.Array,
+        step: jnp.ndarray,
+    ) -> tuple[dict[str, Any], dict[str, jnp.ndarray]]:
+        """Reference-style per-camera gradient accumulation as SEPARATE
+        dispatches (base_trainer.py:36 num_accums_per_batch analog).
+
+        The fused ``train_step`` — camera lax.map x remat x 64-sample
+        checkpointed scan x sphere-trace scan in ONE program — exceeds the
+        remote TPU compile deadline at the production shape (round-4
+        BASELINE postmortem); B+1 small programs compile in minutes and run
+        at parity with the fused map (scan-structure experiment). Loss
+        terms are per-camera means, so averaging per-camera gradients is
+        exact; the regularizers (params-only, identical per camera) stay
+        correct because every per-camera loss carries reg and the mean of
+        identical values is the value."""
+        rw = self._reg_weights(step)
+        k_render, k_bg = jax.random.split(key)
+        bg = jax.random.uniform(k_bg, gt_rgba[..., :3].shape)
+        sk = jax.random.split(
+            jax.random.fold_in(k_render, 1), gt_rgba.shape[0]
+        )
+        b = gt_rgba.shape[0]
+        grads = None
+        loss = mse = reg = None
+        aux = None
+        for i in range(b):
+            g_i, ((l_i, m_i, r_i), a_i) = self._cam_grad(
+                state["params"], cameras[i:i + 1], gt_rgba[i:i + 1],
+                bg[i:i + 1], rw, k_render, sk[i:i + 1],
+            )
+            if grads is None:
+                grads, loss, mse, reg, aux = g_i, l_i, m_i, r_i, a_i
+            else:
+                grads = jax.tree.map(jnp.add, grads, g_i)
+                loss, mse, reg = loss + l_i, mse + m_i, reg + r_i
+                aux = jax.tree.map(jnp.maximum, aux, a_i)
+        inv = 1.0 / b
+        grads = jax.tree.map(lambda g: g * inv, grads)
+        return self._apply_step(
+            state, grads, loss * inv, mse * inv, reg * inv, aux
+        )
+
     @functools.partial(jax.jit, static_argnames=("self", "mesh"),
                        donate_argnames=("state",))
     def train_step_dp(

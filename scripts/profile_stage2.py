@@ -56,6 +56,7 @@ def main():
         ),
         chunk_size=int(os.environ.get("KC", 128)),
         batched_binning=os.environ.get("BATCHED_BINNING", "0") == "1",
+        max_render_faces=int(os.environ.get("MAX_FACES", 1 << 18)),
     )
     grid = model.make_grid()
     params = {
@@ -82,13 +83,13 @@ def main():
     )
     t_c = time.time()
     key, sub = jax.random.split(key)
-    state, m = trainer.train_step(state, cams, gt, sub, jnp.asarray(0.0))
+    state, m = trainer.train_step_accum(state, cams, gt, sub, jnp.asarray(0.0))
     print(f"compile+first step: {time.time() - t_c:.1f} s "
           f"(loss {float(m['loss']):.4f})", flush=True)
     t0 = time.time()
     for s in range(STEPS):
         key, sub = jax.random.split(key)
-        state, m = trainer.train_step(state, cams, gt, sub, jnp.asarray(float(s + 1)))
+        state, m = trainer.train_step_accum(state, cams, gt, sub, jnp.asarray(float(s + 1)))
     jax.block_until_ready(m["loss"])
     dt = (time.time() - t0) / STEPS
     print(f"steady-state: {dt:.3f} s/step ({1.0 / dt:.3f} it/s), "

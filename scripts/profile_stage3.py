@@ -55,6 +55,7 @@ def main():
             int(os.environ["PAIRS_BUDGET"]) if "PAIRS_BUDGET" in os.environ
             else None
         ),
+        max_render_faces=int(os.environ.get("MAX_FACES", 1 << 18)),
     )
     grid = mc.make_grid()
     mc_params = {
@@ -98,7 +99,7 @@ def main():
           f"spp_x={model.num_samples_x}", flush=True)
     t_c = time.time()
     key, sub = jax.random.split(key)
-    state, m = trainer.train_step(state, geometry, cams, gt, sub, jnp.asarray(0.0))
+    state, m = trainer.train_step_accum(state, geometry, cams, gt, sub, jnp.asarray(0.0))
     jax.block_until_ready(m["loss"])
     print(f"compile+first step: {time.time() - t_c:.1f} s "
           f"(loss {float(m['loss']):.4f})", flush=True)
@@ -106,7 +107,7 @@ def main():
     for s in range(STEPS):
         key, sub = jax.random.split(key)
         t0 = time.time()
-        state, m = trainer.train_step(
+        state, m = trainer.train_step_accum(
             state, geometry, cams, gt, sub, jnp.asarray(float(s + 1))
         )
         jax.block_until_ready(m["loss"])

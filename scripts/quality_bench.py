@@ -51,6 +51,10 @@ def main() -> None:
             int(os.environ["QB_PAIRS_BUDGET"])
             if "QB_PAIRS_BUDGET" in os.environ else None
         ),
+        # production face budget: the padded slot count drives every
+        # per-gaussian cost in stages 1-2 (live fill at grid 96 is ~0.45
+        # of the 1<<18 default; 1<<17 halves the step, watch face_fill)
+        max_render_faces=int(os.environ.get("QB_MAX_FACES", 1 << 18)),
         log=lambda m: print(m, flush=True),
     )
     r["wall_s"] = round(time.time() - t0, 1)

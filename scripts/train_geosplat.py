@@ -28,6 +28,7 @@ S4R = {
     f"s4r-{scene}": preset(
         f"geosplat-s4r-{scene}", resolution=96, scene_scale=0.8,
         num_steps=500, batch_size=8, pairs_budget=1_600_000,
+        max_render_faces=1 << 17,
     )
     for scene in ("hotdog", "chair", "jugs", "air_baloons")
 }
@@ -35,6 +36,7 @@ TENSOIR = {
     f"tsir-{scene}": preset(
         f"geosplat-tsir-{scene}", resolution=96, scene_scale=0.9,
         num_steps=500, batch_size=8, pairs_budget=1_600_000,
+        max_render_faces=1 << 17,
     )
     for scene in ("lego", "armadillo", "ficus", "hotdog")
 }

@@ -28,6 +28,7 @@ TASKS = {
         f"s4r-{s}": preset(
             f"geosplat-mc-s4r-{s}", resolution=96, scene_scale=0.8,
             num_steps=500, batch_size=8, pairs_budget=1_600_000,
+        max_render_faces=1 << 17,
         )
         for s in ("hotdog", "chair", "jugs", "air_baloons")
     },
@@ -35,6 +36,7 @@ TASKS = {
         f"tsir-{s}": preset(
             f"geosplat-mc-tsir-{s}", resolution=96, scene_scale=0.9,
             num_steps=500, batch_size=8, pairs_budget=1_600_000,
+        max_render_faces=1 << 17,
         )
         for s in ("lego", "armadillo", "ficus", "hotdog")
     },

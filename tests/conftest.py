@@ -7,6 +7,7 @@ backend is initialized (first jax.devices() call happens inside tests)."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)  # see note below
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,19 +21,16 @@ try:
 except Exception:
     pass
 jax.config.update("jax_default_matmul_precision", "highest")
-# persistent compile cache: the heavy train-step compiles (3-10 min on CPU
-# XLA) are identical across runs — cache them so repeat suite runs are fast.
-# The suite OWNS its cache dir (VERDICT r3 #4): round 3's full-suite segfault
-# was a corrupted entry in a /tmp cache shared with bench/profiler writers
-# (fatal signal inside the persistent-cache read); tests now never share a
-# cache with any other writer, and bench uses the repo's .jax_cache instead.
-_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                      ".jax_cache_cpu_tests")
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:
-    pass
+# NO persistent compile cache for the CPU suite (round-4 diagnosis of the
+# round-3 "corrupted cache" segfault): CPU-XLA cache entries embed HOST
+# MACHINE CODE, and this VM's visible CPU features vary between sessions —
+# the loader warns "Machine type used for XLA:CPU compilation doesn't match
+# the machine type for execution ... could lead to execution errors such as
+# SIGILL", and two separate rounds measured exactly that as a fatal signal
+# mid-suite (round 3 in the cache READ, round 4 with a fresh suite-owned
+# dir). Cold CPU compiles are the price of a suite that cannot be crashed
+# by stale machine code; the TPU-side .jax_cache is unaffected (its entries
+# are device binaries compiled remotely).
 
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, got: " + str(jax.devices()[:1])

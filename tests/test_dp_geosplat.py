@@ -248,3 +248,28 @@ def test_compact_export_preserves_stage3_render():
                                shade_keys=sk)
         outs.append(np.asarray(rgba))
     np.testing.assert_allclose(outs[1], outs[0], rtol=1e-4, atol=2e-4)
+
+
+def test_mc_train_step_accum_matches_fused():
+    """Per-camera dispatch accumulation (round 4: the fused stage-2 step
+    exceeds the remote compile deadline at production shape) must match the
+    fused train_step up to reassociation."""
+    from geosplatting_tpu.train.geosplat_mc_trainer import (
+        GeoSplatMCTrainer, GeoSplatMCTrainerConfig,
+    )
+
+    model, params = _tiny_stage2()
+    cams = Cameras.from_orbit(
+        center=jnp.zeros(3), radius=2.0, elevation_degrees=20.0,
+        num_samples=2, width=W, height=H,
+    )
+    gt = gt_sphere_views(cams)
+    trainer = GeoSplatMCTrainer(GeoSplatMCTrainerConfig(batch_size=2), model)
+    state = trainer.init_state(params)
+    key = jax.random.key(5)
+    step = jnp.asarray(60.0, jnp.float32)
+    state2 = jax.tree.map(jnp.array, state)
+    s1, m1 = trainer.train_step(state, cams, gt, key, step)
+    s2, m2 = trainer.train_step_accum(state2, cams, gt, key, step)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=2e-4)
+    assert float(m2["nonfinite_grads"]) == 0.0

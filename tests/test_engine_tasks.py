@@ -147,9 +147,9 @@ def test_full_chain_via_tasks_and_eval(blender_scene, tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
     env.pop("XLA_FLAGS", None)
-    env["JAX_COMPILATION_CACHE_DIR"] = str(
-        Path(__file__).resolve().parents[1] / ".jax_cache_cpu_tests"
-    )
+    # no persistent compile cache on CPU (see tests/conftest.py: cached
+    # CPU executables embed host machine code and SIGILL across VM hosts)
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
     env["CHAIN_SCENE_DIR"] = str(blender_scene)
     env["CHAIN_TMP_DIR"] = str(tmp_path)
     result = subprocess.run(

@@ -24,9 +24,9 @@ def test_quality_chain_thresholds():
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = str(Path(__file__).resolve().parents[1])
     env.pop("XLA_FLAGS", None)
-    env["JAX_COMPILATION_CACHE_DIR"] = str(
-        Path(__file__).resolve().parents[1] / ".jax_cache_cpu_tests"
-    )
+    # no persistent compile cache on CPU (see tests/conftest.py: cached
+    # CPU executables embed host machine code and SIGILL across VM hosts)
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
     result = subprocess.run(
         [sys.executable, "-c",
          "import tests.test_quality as m; m._run()"],
