@@ -236,7 +236,7 @@ def main() -> None:
     # self-imposed wall budget (VERDICT r3 #1): the driver kills the bench at
     # ~30 min; if stage-1 alone ate most of that (cold remote compile), print
     # what we have instead of dying with the headline unprinted
-    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 1500))
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 1200))
     extra: dict = {}
     # stage-1 FIRST: the headline workload gets a pristine device
     if RUN_S1:
