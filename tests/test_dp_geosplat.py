@@ -147,7 +147,7 @@ def test_dp_mc_train_step_matches_single_device():
     trainer = GeoSplatMCTrainer(GeoSplatMCTrainerConfig(batch_size=4), model)
     key = jax.random.key(5)
     step = jnp.asarray(60.0, jnp.float32)
-    rw = trainer.reg_weights(step)
+    rw = trainer._reg_weights(step)
     k_render, k_bg = jax.random.split(key)
     bg = jax.random.uniform(k_bg, gt[..., :3].shape)
 
