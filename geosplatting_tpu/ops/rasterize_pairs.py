@@ -299,10 +299,15 @@ def bin_pairs(
     )
     sorted_tile = sorted_key // (1 << depth_bits)
 
-    # per-tile segment bounds + chunk layout
+    # per-tile segment bounds + chunk layout. method='scan' (binary search)
+    # here, NOT 'sort': there are only T+1 (~2.5k) queries against the
+    # max_pairs-sorted tile array, so the sort method would re-sort all
+    # 1.4M pairs while binary search is log2(max_pairs) rounds of 2.5k-row
+    # gathers (the 'sort is free' rule only holds when the query side is
+    # itself pair-sized, as in `rank` above).
     seg_start = jnp.searchsorted(
         sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left",
-        method="sort",
+        method="scan",
     ).astype(jnp.int32)                                # [T+1]
     counts = seg_start[1:] - seg_start[:-1]            # [T]
     tile_chunks = -(-counts // kc)                     # [T] 0 for empty tiles

@@ -86,13 +86,17 @@ def main():
     state, m = trainer.train_step_accum(state, cams, gt, sub, jnp.asarray(0.0))
     print(f"compile+first step: {time.time() - t_c:.1f} s "
           f"(loss {float(m['loss']):.4f})", flush=True)
-    t0 = time.time()
+    times = []
     for s in range(STEPS):
         key, sub = jax.random.split(key)
+        t0 = time.time()
         state, m = trainer.train_step_accum(state, cams, gt, sub, jnp.asarray(float(s + 1)))
-    jax.block_until_ready(m["loss"])
-    dt = (time.time() - t0) / STEPS
-    print(f"steady-state: {dt:.3f} s/step ({1.0 / dt:.3f} it/s), "
+        jax.block_until_ready(m["loss"])  # blocked per-step timing (BASELINE.md r3 postmortem)
+        times.append(time.time() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
+    print(f"steady-state: {dt:.3f} s/step median ({1.0 / dt:.3f} it/s), "
+          f"per-step {[round(t, 3) for t in times]}, "
           f"loss {float(m['loss']):.4f}, "
           f"nonfinite_grads {int(m.get('nonfinite_grads', 0))}", flush=True)
 
