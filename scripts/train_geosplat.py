@@ -32,6 +32,13 @@ S4R = {
     )
     for scene in ("hotdog", "chair", "jugs", "air_baloons")
 }
+# the in-repo synthetic S4R-layout scene (scripts/make_synthetic_scene.py)
+# spans the unit box, so it trains at scene_scale 1.0
+S4R["s4r-twosphere"] = preset(
+    "geosplat-s4r-twosphere", resolution=96, scene_scale=1.0,
+    num_steps=500, batch_size=8, pairs_budget=1_600_000,
+    max_render_faces=1 << 17,
+)
 TENSOIR = {
     f"tsir-{scene}": preset(
         f"geosplat-tsir-{scene}", resolution=96, scene_scale=0.9,

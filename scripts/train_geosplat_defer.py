@@ -32,6 +32,11 @@ TASKS = {
         )
         for s in ("hotdog", "chair", "jugs", "air_baloons")
     },
+    # synthetic S4R-layout scene (unit box -> scene_scale 1.0)
+    "s4r-twosphere": preset(
+        "geosplat-defer-s4r-twosphere", resolution=96, scene_scale=1.0,
+        num_steps=100, batch_size=8, pairs_budget=1_600_000,
+    ),
     **{
         f"tsir-{s}": preset(
             f"geosplat-defer-tsir-{s}", resolution=96, scene_scale=0.9,

@@ -32,6 +32,12 @@ TASKS = {
         )
         for s in ("hotdog", "chair", "jugs", "air_baloons")
     },
+    # synthetic S4R-layout scene (unit box -> scene_scale 1.0)
+    "s4r-twosphere": preset(
+        "geosplat-mc-s4r-twosphere", resolution=96, scene_scale=1.0,
+        num_steps=500, batch_size=8, pairs_budget=1_600_000,
+        max_render_faces=1 << 17,
+    ),
     **{
         f"tsir-{s}": preset(
             f"geosplat-mc-tsir-{s}", resolution=96, scene_scale=0.9,
