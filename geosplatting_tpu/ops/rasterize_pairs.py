@@ -212,12 +212,17 @@ def bin_pairs(
     # measured ~0.5 s/step at the stage-1 production shape; under vmap the
     # cond degrades to both-branches-execute, i.e. exactly the old cost).
     def _depth_order(_):
-        return jnp.argsort(jnp.where(ntiles > 0, depths, jnp.inf)).astype(jnp.int32)
+        o = jnp.argsort(jnp.where(ntiles > 0, depths, jnp.inf)).astype(jnp.int32)
+        return o, jnp.argsort(o).astype(jnp.int32)
 
     def _iota_order(_):
-        return jnp.arange(n, dtype=jnp.int32)
+        i = jnp.arange(n, dtype=jnp.int32)
+        return i, i
 
-    order = jax.lax.cond(
+    # order's inverse (gs_inv) rides the same cond: when order is the
+    # identity its inverse is too, so the common under-budget step skips
+    # BOTH argsorts, not just the first
+    order, order_inv = jax.lax.cond(
         jnp.sum(ntiles) > max_pairs, _depth_order, _iota_order, None
     )
 
@@ -363,7 +368,7 @@ def bin_pairs(
         padslot_of_pair=padslot_of_pair,
         gs_start=starts.astype(jnp.int32),
         gs_count=rec[:, 0].astype(jnp.int32),
-        gs_inv=jnp.argsort(order).astype(jnp.int32),
+        gs_inv=order_inv,
         meta_a=meta_a,
         meta_b=meta_b,
         tile_counts=counts,
