@@ -114,6 +114,7 @@ class GeoSplatterPrior:
         kd_perturb_std: float = 0.01,
         ks_perturb_std: float = 0.01,
         tone_type: str = "naive",
+        shade_keys: jnp.ndarray | None = None,
     ) -> tuple[jnp.ndarray, jnp.ndarray, dict]:
         w = {"occ": 0.0, "light": 0.0, "kd_grad": 0.0, "ks_grad": 0.0}
         if reg_weights:
@@ -220,9 +221,13 @@ class GeoSplatterPrior:
             return jnp.concatenate((rgb, alpha), -1), info["total_pairs"]
 
         bsz = cameras.shape[0]
-        rgba, total_pairs = jax.lax.map(
-            render_one, (cameras, jax.random.split(k_shade, bsz))
+        # explicit per-camera MC keys: the trainer passes GLOBAL-batch keys so
+        # the per-camera accum dispatches (and dp shards) match the fused
+        # map bit-for-bit (see GeoSplatterMC.render shade_keys)
+        keys_b = (
+            jax.random.split(k_shade, bsz) if shade_keys is None else shade_keys
         )
+        rgba, total_pairs = jax.lax.map(render_one, (cameras, keys_b))
         aux = {
             "num_gaussians": valid.sum(),
             "total_pairs": total_pairs.max(),

@@ -126,7 +126,9 @@ def main() -> None:
         idx = jnp.arange(batch) + (i * batch) % cams.shape[0]
         idx = idx % cams.shape[0]
         t0 = time.time()
-        state, m = trainer.train_step(
+        # per-camera split dispatch: the FUSED step at 1M gaussians dies in
+        # remote compile (round-5 BASELINE: response body closed mid-read)
+        state, m = trainer.train_step_accum(
             state, mesh, cams[idx], gt[idx], jax.random.key(100 + i),
             jnp.asarray(float(i), jnp.float32),
         )

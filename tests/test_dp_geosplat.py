@@ -318,3 +318,39 @@ def test_mc_train_step_accum_matches_fused():
     s2, m2 = trainer.train_step_accum(state2, cams, gt, key, step)
     np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=2e-4)
     assert float(m2["nonfinite_grads"]) == 0.0
+
+
+def test_prior_train_step_accum_matches_fused():
+    """Round 5: the 1M-gaussian prior demo died in remote compile (fused
+    step too large), so GeoSplatPriorTrainer gained the same per-camera
+    split dispatch as MC/defer — loss-level parity with the fused step."""
+    import geosplatting_tpu.graphics.flexicubes as fc
+    from geosplatting_tpu.models.geosplat_prior import GeoSplatterPrior
+    from geosplatting_tpu.train.geosplat_prior_trainer import (
+        GeoSplatPriorTrainer, GeoSplatPriorTrainerConfig,
+    )
+
+    grid = fc.make_grid(10, scale=1.0)
+    sdf = jnp.linalg.norm(grid.base_vertices(), axis=-1) - 0.5
+    base_mesh = fc.extract(grid, sdf).mesh
+    model = GeoSplatterPrior(
+        scale=1.0, tile_capacity=96, tile_chunk=4, num_samples_x=2,
+        denoise=False, shadow_scale=0.0,
+    )
+    params = model.init(base_mesh, jax.random.key(0))
+    trainer = GeoSplatPriorTrainer(
+        GeoSplatPriorTrainerConfig(batch_size=2), model
+    )
+    cams = Cameras.from_orbit(
+        center=jnp.zeros(3), radius=2.0, elevation_degrees=10.0,
+        num_samples=2, width=W, height=H,
+    )
+    gt = gt_sphere_views(cams)
+    state = trainer.init_state(params)
+    state2 = jax.tree.map(jnp.array, state)
+    key = jax.random.key(7)
+    step = jnp.asarray(3.0, jnp.float32)
+    s1, m1 = trainer.train_step(state, base_mesh, cams, gt, key, step)
+    s2, m2 = trainer.train_step_accum(state2, base_mesh, cams, gt, key, step)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=2e-4)
+    assert float(m2["nonfinite_grads"]) == 0.0
