@@ -134,6 +134,25 @@ def run_task_group(tasks: dict[str, Any], argv: list[str] | None = None) -> Any:
     jax.profiler trace (the TPU-native analog of the reference's cProfile
     option, SURVEY §5); ``--auto-breakpoint`` drops into pdb post-mortem on
     crash (task.py:224-237)."""
+    # persist compiles across task invocations (round 5): the production
+    # chain is 4 separate CLI processes whose programs each cold-compile
+    # through the remote tunnel for tens of minutes — the repo-local cache
+    # makes every restart/resume and each later stage's shared programs
+    # warm. jax.config.update (not the env var — jax may already be
+    # imported); never on the CPU backend, whose cache entries embed host
+    # machine code that goes stale across sessions (tests/conftest.py).
+    import os
+
+    import jax
+
+    if (
+        "JAX_COMPILATION_CACHE_DIR" not in os.environ
+        and jax.default_backend() != "cpu"
+    ):
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            str(Path(__file__).resolve().parents[2] / ".jax_cache"),
+        )
     argv = sys.argv[1:] if argv is None else argv
     parser = argparse.ArgumentParser()
     parser.add_argument("--profiling", type=str, default=None)
