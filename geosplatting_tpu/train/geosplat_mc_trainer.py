@@ -166,10 +166,30 @@ class GeoSplatMCTrainer:
             has_aux=True,
         )(params)
 
-    @functools.partial(jax.jit, static_argnames=("self",),
+    @functools.partial(jax.jit, static_argnames=("self", "inv"),
                        donate_argnames=("state",))
-    def _apply_step(self, state, grads, loss, mse, reg, aux):
+    def _apply_step(self, state, grads, loss, mse, reg, aux, inv=1.0):
+        if inv != 1.0:
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            loss, mse, reg = loss * inv, mse * inv, reg * inv
         return self._apply_grads(state, grads, loss, mse, reg, aux)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _slice_cam(self, cameras, gt_rgba, bg, sk, i):
+        """One program for all the per-camera input slicing (round 5: the
+        accum loop's host-side ``x[i:i+1]`` glue was hundreds of tiny
+        remote calls per step; bursty small-RPC traffic wedged the
+        tunnel — see BASELINE.md round-5 'wedge' postmortem)."""
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i, 1, 0)  # noqa: E731
+        return jax.tree.map(sl, cameras), sl(gt_rgba), sl(bg), sl(sk)
+
+    @functools.partial(jax.jit, static_argnames=("self",),
+                       donate_argnames=("acc",))
+    def _acc_add(self, acc, grads, loss, mse, reg, aux):
+        """Accumulate one camera's gradient contribution in ONE dispatch."""
+        g0, l0, m0, r0, a0 = acc
+        return (jax.tree.map(jnp.add, g0, grads), l0 + loss, m0 + mse,
+                r0 + reg, jax.tree.map(jnp.maximum, a0, aux))
 
     def train_step_accum(
         self,
@@ -184,13 +204,15 @@ class GeoSplatMCTrainer:
 
         The fused ``train_step`` — camera lax.map x remat x 64-sample
         checkpointed scan x sphere-trace scan in ONE program — exceeds the
-        remote TPU compile deadline at the production shape (round-4
-        BASELINE postmortem); B+1 small programs compile in minutes and run
-        at parity with the fused map (scan-structure experiment). Loss
-        terms are per-camera means, so averaging per-camera gradients is
-        exact; the regularizers (params-only, identical per camera) stay
-        correct because every per-camera loss carries reg and the mean of
-        identical values is the value."""
+        remote TPU compile size cap at the production shape (round-4/5
+        BASELINE postmortems); B small programs compile in minutes and run
+        at parity with the fused map. Loss terms are per-camera means, so
+        averaging per-camera gradients is exact; the regularizers
+        (params-only, identical per camera) stay correct because every
+        per-camera loss carries reg and the mean of identical values is
+        the value. The whole step is ~3B+1 dispatches (slice / grad /
+        accumulate per camera + apply): everything else lives inside jit
+        so the remote tunnel sees few, large requests."""
         rw = self._reg_weights(step)
         k_render, k_bg = jax.random.split(key)
         bg = jax.random.uniform(k_bg, gt_rgba[..., :3].shape)
@@ -198,24 +220,21 @@ class GeoSplatMCTrainer:
             jax.random.fold_in(k_render, 1), gt_rgba.shape[0]
         )
         b = gt_rgba.shape[0]
-        grads = None
-        loss = mse = reg = None
-        aux = None
+        acc = None
         for i in range(b):
-            g_i, ((l_i, m_i, r_i), a_i) = self._cam_grad(
-                state["params"], cameras[i:i + 1], gt_rgba[i:i + 1],
-                bg[i:i + 1], rw, k_render, sk[i:i + 1],
+            cam_i, gt_i, bg_i, sk_i = self._slice_cam(
+                cameras, gt_rgba, bg, sk, jnp.asarray(i, jnp.int32)
             )
-            if grads is None:
-                grads, loss, mse, reg, aux = g_i, l_i, m_i, r_i, a_i
-            else:
-                grads = jax.tree.map(jnp.add, grads, g_i)
-                loss, mse, reg = loss + l_i, mse + m_i, reg + r_i
-                aux = jax.tree.map(jnp.maximum, aux, a_i)
-        inv = 1.0 / b
-        grads = jax.tree.map(lambda g: g * inv, grads)
+            g_i, ((l_i, m_i, r_i), a_i) = self._cam_grad(
+                state["params"], cam_i, gt_i, bg_i, rw, k_render, sk_i,
+            )
+            acc = (
+                (g_i, l_i, m_i, r_i, a_i) if acc is None
+                else self._acc_add(acc, g_i, l_i, m_i, r_i, a_i)
+            )
+        grads, loss, mse, reg, aux = acc
         return self._apply_step(
-            state, grads, loss * inv, mse * inv, reg * inv, aux
+            state, grads, loss, mse, reg, aux, inv=1.0 / b
         )
 
     @functools.partial(jax.jit, static_argnames=("self", "mesh"),

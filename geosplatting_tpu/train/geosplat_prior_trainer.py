@@ -143,10 +143,27 @@ class GeoSplatPriorTrainer:
             has_aux=True,
         )(params)
 
-    @functools.partial(jax.jit, static_argnames=("self",),
+    @functools.partial(jax.jit, static_argnames=("self", "inv"),
                        donate_argnames=("state",))
-    def _apply_step(self, state, grads, loss, reg, aux):
+    def _apply_step(self, state, grads, loss, reg, aux, inv=1.0):
+        if inv != 1.0:
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            loss, reg = loss * inv, reg * inv
         return self._apply_grads(state, grads, loss, reg, aux)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _slice_cam(self, cameras, gt_rgba, bg, sk, i):
+        """Jitted per-camera input slicing (one dispatch, not dozens — see
+        GeoSplatMCTrainer._slice_cam)."""
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, i, 1, 0)  # noqa: E731
+        return jax.tree.map(sl, cameras), sl(gt_rgba), sl(bg), sl(sk)
+
+    @functools.partial(jax.jit, static_argnames=("self",),
+                       donate_argnames=("acc",))
+    def _acc_add(self, acc, grads, loss, reg, aux):
+        g0, l0, r0, a0 = acc
+        return (jax.tree.map(jnp.add, g0, grads), l0 + loss,
+                r0 + reg, jax.tree.map(jnp.maximum, a0, aux))
 
     def train_step_accum(
         self,
@@ -173,21 +190,21 @@ class GeoSplatPriorTrainer:
             jax.random.fold_in(k_render, 1), gt_rgba.shape[0]
         )
         b = gt_rgba.shape[0]
-        grads = loss = reg = aux = None
+        acc = None
         for i in range(b):
-            g_i, (l_i, r_i, a_i) = self._cam_grad(
-                state["params"], base_mesh, cameras[i:i + 1],
-                gt_rgba[i:i + 1], bg[i:i + 1], rw, k_render, sk[i:i + 1],
+            cam_i, gt_i, bg_i, sk_i = self._slice_cam(
+                cameras, gt_rgba, bg, sk, jnp.asarray(i, jnp.int32)
             )
-            if grads is None:
-                grads, loss, reg, aux = g_i, l_i, r_i, a_i
-            else:
-                grads = jax.tree.map(jnp.add, grads, g_i)
-                loss, reg = loss + l_i, reg + r_i
-                aux = jax.tree.map(jnp.maximum, aux, a_i)
-        inv = 1.0 / b
-        grads = jax.tree.map(lambda g: g * inv, grads)
-        return self._apply_step(state, grads, loss * inv, reg * inv, aux)
+            g_i, (l_i, r_i, a_i) = self._cam_grad(
+                state["params"], base_mesh, cam_i, gt_i, bg_i, rw,
+                k_render, sk_i,
+            )
+            acc = (
+                (g_i, l_i, r_i, a_i) if acc is None
+                else self._acc_add(acc, g_i, l_i, r_i, a_i)
+            )
+        grads, loss, reg, aux = acc
+        return self._apply_step(state, grads, loss, reg, aux, inv=1.0 / b)
 
     def _apply_grads(self, state, grads, loss, reg, aux):
         c = self.config
