@@ -82,6 +82,29 @@ class Dataset:
         if self.dataparser is None:
             self.dataparser = recognize_dataparser(self.path)
         self._cache: dict[str, tuple[Cameras, np.ndarray, Any]] = {}
+        self._dev_cache: dict[str, jnp.ndarray] = {}
+
+    def device_images(self, split: str) -> jnp.ndarray:
+        """All of a split's images as ONE device-resident array.
+
+        Round 5: yielding ``jnp.asarray(images[idx])`` per training batch
+        re-uploaded ~80 MB of GT through the remote-TPU tunnel every step
+        (~10 GB per 100 steps), and a concurrent upload + result download
+        deadlocked the tunnel at the first validation (BASELINE.md round-5
+        postmortem). One chunked upload at iterator setup removes the
+        per-step host->device traffic entirely; batches become on-device
+        gathers. Chunks stay ~64 MB so no single tunnel request is huge."""
+        if split not in self._dev_cache:
+            _, images, _ = self.get_split(split)
+            rows = max(1, (64 << 20) // max(int(images[0].nbytes), 1))
+            self._dev_cache[split] = jnp.concatenate(
+                [
+                    jnp.asarray(images[s: s + rows])
+                    for s in range(0, images.shape[0], rows)
+                ],
+                axis=0,
+            )
+        return self._dev_cache[split]
 
     def get_split(self, split: str) -> tuple[Cameras, np.ndarray, Any]:
         """(cameras [N], rgba images [N, H, W, 4] numpy, meta)."""
@@ -117,7 +140,8 @@ class Dataset:
         self, split: str, batch_size: int, seed: int = 0
     ) -> Iterator[tuple[Cameras, jnp.ndarray, np.ndarray]]:
         """Infinite shuffled batches: (cameras [B], rgba [B, H, W, 4], idx)."""
-        cams, images, _ = self.get_split(split)
+        cams, _, _ = self.get_split(split)
+        imgs = self.device_images(split)
         n = cams.shape[0]
         rng = np.random.default_rng(seed)
         order = rng.permutation(n)
@@ -128,4 +152,5 @@ class Dataset:
                 pos = 0
             idx = order[pos: pos + batch_size]
             pos += batch_size
-            yield cams[jnp.asarray(idx)], jnp.asarray(images[idx]), idx
+            jidx = jnp.asarray(idx)
+            yield cams[jidx], jnp.take(imgs, jidx, axis=0), idx

@@ -337,7 +337,18 @@ class _TrainTaskBase:
         if n == 0:
             return {}
         idx = jnp.asarray(np.linspace(0, cams.shape[0] - 1, n).astype(np.int32))
-        pred = self.val_render(model, trainer, state, cams[idx], key)
+        # ONE jitted program for the val render (round 5): the eager render
+        # path on the remote TPU is thousands of per-primitive dispatches —
+        # for the MC/defer stages that flooded the tunnel with ~10 GB of
+        # operand uploads at the first validation and wedged the client
+        # (BASELINE.md round-5 postmortem). Cached per task instance; host
+        # caches a subclass closes over (frozen geometry, base mesh) become
+        # compile-time constants, which is exactly right for a frozen input.
+        if getattr(self, "_val_render_jit", None) is None:
+            self._val_render_jit = jax.jit(
+                lambda s, c, k: self.val_render(model, trainer, s, c, k)
+            )
+        pred = self._val_render_jit(state, cams[idx], key)
         pred = np.asarray(pred)
         vals = []
         for i in range(n):
@@ -541,9 +552,11 @@ class GeoSplatMCTrainTask(_TrainTaskBase):
 
         # host-side live-row compaction: stage 3 optimizes per-gaussian
         # params, so handing it the face-budget padding (1.57M rows at the
-        # production grid) OOMs its step (see compact_export)
+        # production grid) OOMs its step (see compact_export). The device
+        # part runs as ONE jitted program (eager on the remote TPU is a
+        # per-primitive dispatch flood — see _validate).
         return compact_export(jax.device_get(
-            model.export_model(state["params"], key)
+            jax.jit(model.export_model)(state["params"], key)
         ))
 
 
