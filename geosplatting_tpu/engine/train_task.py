@@ -25,6 +25,11 @@ from ..data.dataset import Dataset
 from ..graphics import images as gimages
 from ..utils.config import dump_dataclass_as_str, load_dataclass
 from .experiment import Experiment
+
+# blocked per-step training (default ON for remote/tunneled accelerators,
+# off on CPU where the suite measures nothing through a tunnel): see the
+# loop comment in _TrainTaskBase.run
+_BLOCK_STEPS = __import__("os").environ.get("GEOS_BLOCK_STEPS", "1") == "1"
 from .stage_io import find_export, load_export, save_export
 
 
@@ -244,6 +249,14 @@ class _TrainTaskBase:
                 state, metrics = self.step_fn(
                     model, trainer, state, cams, gt, sub, step
                 )
+                if _BLOCK_STEPS:
+                    # bound the async dispatch queue to ONE in-flight step:
+                    # the remote tunnel backs up (rwnd-limited, minutes of
+                    # backlog, occasional lost responses) when hundreds of
+                    # dispatches are enqueued ahead of the first fetch
+                    # (BASELINE.md round-5 postmortem). An 8-byte scalar
+                    # fetch per step costs one RPC round-trip.
+                    jax.block_until_ready(metrics["loss"])
                 key, sub = jax.random.split(key)
                 state = self.after_update(
                     model, trainer, state, step, sub, (cams.width, cams.height)
